@@ -1,0 +1,138 @@
+"""CLI entry point (analog of /root/reference/main.py:11-66).
+
+Usage (local or cluster — the module is self-contained for --py-files):
+
+  spark-submit --py-files document_ai_spark.zip -m ...    # cluster
+  python -m document_ai_spark extract --input DIR --output DIR [opts]
+  python -m document_ai_spark datagen --output DIR --n-docs N [--seed S]
+  python -m document_ai_spark validate --extracted DIR [--golden DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(args):
+    from document_ai_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"document_ai_spark.{args.cmd}",
+        master=args.master,
+    )
+
+
+def cmd_datagen(args) -> int:
+    from document_ai_spark.datagen import write_corpus
+
+    stats = write_corpus(
+        args.output, n_docs=args.n_docs, seed=args.seed,
+        giant_paras=args.giant_paras, verify=not args.no_verify,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_extract(args) -> int:
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.operators.lineage import run_extraction_job
+    from document_ai_spark.sources.io import read_pages
+
+    spark = _spark(args)
+    t0 = time.time()
+    pages = read_pages(spark, args.input)
+    summary = run_extraction_job(
+        pages,
+        args.output,
+        n_shards=args.n_shards,
+        shards_per_commit=args.shards_per_commit,
+        run_id=args.run_id,
+    )
+    out = spark.read.parquet(args.output)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("html_bytes").alias("bytes"),
+        F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias(
+            "parse_failures"
+        ),
+    ).collect()[0]
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                **summary,
+                "docs_total": stats.docs,
+                "html_bytes": stats.bytes,
+                "parse_failures": stats.parse_failures,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(stats.docs / wall, 1),
+                "mb_per_sec": round(stats.bytes / wall / 1e6, 2),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.operators.metrics import extraction_accuracy
+    from document_ai_spark.operators.validation import validate_extracted
+
+    spark = _spark(args)
+    extracted = spark.read.parquet(args.extracted)
+    validated = validate_extracted(extracted)
+    res = {
+        "docs": validated.count(),
+        "validated": validated.filter(F.col("validated")).count(),
+    }
+    if args.golden:
+        golden = spark.read.parquet(args.golden)
+        row = extraction_accuracy(extracted, golden).collect()[0]
+        res.update(
+            {
+                "content_accuracy": row.content_accuracy,
+                "filling_accuracy": row.filling_accuracy,
+                "content_fuzzy_accuracy": row.content_fuzzy_accuracy,
+            }
+        )
+    print(json.dumps(res))
+    return 0 if res.get("content_accuracy", 1.0) == 1.0 else 3
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="document_ai_spark")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("datagen", help="write deterministic corpus + goldens")
+    d.add_argument("--output", required=True)
+    d.add_argument("--n-docs", type=int, default=1000)
+    d.add_argument("--seed", type=int, default=42)
+    d.add_argument("--giant-paras", type=int, default=150)
+    d.add_argument("--no-verify", action="store_true")
+    d.set_defaults(fn=cmd_datagen)
+
+    e = sub.add_parser("extract", help="run the extraction job (resumable)")
+    e.add_argument("--input", required=True, help="pages parquet/iceberg")
+    e.add_argument("--output", required=True)
+    e.add_argument("--n-shards", type=int, default=16)
+    e.add_argument("--shards-per-commit", type=int, default=4)
+    e.add_argument("--run-id", default=None)
+    e.set_defaults(fn=cmd_extract)
+
+    v = sub.add_parser("validate", help="QA predicates + golden accuracy")
+    v.add_argument("--extracted", required=True)
+    v.add_argument("--golden", default=None)
+    v.set_defaults(fn=cmd_validate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,134 @@
+"""The Spark extraction stage: pages DataFrame -> extracted DataFrame.
+
+One ``mapInPandas`` over Arrow batches runs the frozen kernel
+(document_ai_spark.kernel.extract) per document — the analog of the
+reference's per-document ``analyze()`` loop (/root/reference/
+performances.py:239), but Arrow-batched and executor-parallel instead of a
+single sequential Python process. The kernel's regexes are compiled once at
+module import per Python worker (the reference instead reconstructs its OCR
+model per image — /root/reference/ai_documents/analysis/cv/
+boxes_processing.py:8 — the anti-pattern we avoid).
+
+Scale design:
+  - Column pruning before the UDF: only (url, warc_ts, html) cross the
+    Arrow boundary.
+  - Salted repartition by url-hash (``pmod(xxhash64(url), parts)``) spreads
+    giant pages (100-1000x median bytes) across partitions so no single task
+    inherits a run of them — AQE skew handling cannot see Python UDF compute
+    skew, so this is done explicitly (SURVEY.md §4).
+  - Arrow maxRecordsPerBatch is capped in session.py so one batch of giant
+    pages stays bounded in memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernel.extract import extract_document
+
+SPAN_TYPE = T.StructType(
+    [
+        T.StructField("span_id", T.IntegerType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("block_id", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+    ]
+)
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("main_text", T.StringType()),
+        T.StructField("spans", T.ArrayType(SPAN_TYPE)),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("parse_ok", T.BooleanType()),
+        T.StructField("err", T.StringType()),
+        T.StructField("charset", T.StringType()),
+        T.StructField("html_bytes", T.LongType()),
+    ]
+)
+
+
+def _extract_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Iterator-of-batches kernel driver (per-worker init happens at module
+    import: compiled regexes, frozen tables)."""
+    for pdf in batches:
+        urls = pdf["url"].tolist()
+        tss = pdf["warc_ts"].tolist()
+        htmls = pdf["html"].tolist()
+        out = {
+            "url": urls,
+            "warc_ts": tss,
+            "main_text": [],
+            "spans": [],
+            "n_blocks": [],
+            "parse_ok": [],
+            "err": [],
+            "charset": [],
+            "html_bytes": [len(h) if h is not None else 0 for h in htmls],
+        }
+        for raw in htmls:
+            res = extract_document(bytes(raw) if raw is not None else None)
+            out["main_text"].append(res.main_text)
+            out["spans"].append(
+                [
+                    {
+                        "span_id": s.span_id,
+                        "start": s.start,
+                        "end": s.end,
+                        "block_id": s.block_id,
+                        "kind": s.kind,
+                    }
+                    for s in res.spans
+                ]
+            )
+            out["n_blocks"].append(res.n_blocks)
+            out["parse_ok"].append(res.parse_ok)
+            out["err"].append(res.err)
+            out["charset"].append(res.charset)
+        yield pd.DataFrame(out)
+
+
+def extract_pages(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    salted: bool = True,
+) -> DataFrame:
+    """pages(url, warc_ts, html, ...) -> extracted DataFrame.
+
+    ``salted=True`` repartitions by url-hash to defuse giant-page compute
+    skew; pass ``salted=False`` when the input partitioning is already
+    uniform and the extra shuffle is not worth it (e.g. freshly generated
+    evenly-sized input).
+    """
+    cols = pages.select("url", "warc_ts", "html")  # prune before Arrow
+    if salted:
+        n = num_partitions or cols.sparkSession.sparkContext.defaultParallelism
+        cols = cols.repartition(n, F.pmod(F.xxhash64("url"), F.lit(n)))
+    return cols.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+
+
+def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition extraction metrics (A10 analog of the reference's
+    per-run summary rows, /root/reference/performances.py:271-296)."""
+    return (
+        extracted.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("html_bytes").alias("bytes"),
+            F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias(
+                "parse_failures"
+            ),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .select("run_id", "partition_id", "docs", "bytes", "parse_failures")
+    )

@@ -1,0 +1,126 @@
+"""Sharded, resumable extraction job with per-shard lineage (S12/U2/F8).
+
+Reference analog: the block cache consulted before recompute
+(/root/reference/ai_documents/analysis/entities.py:62-82,208-235) and the
+exclusion list (/root/reference/performances.py:232-237). At 10^12-document
+scale that becomes:
+
+  shard_id = pmod(xxhash64(url), n_shards)      -- deterministic, uniform
+  done     = lineage rows with status='done'
+  todo     = all shards - done                   -- set difference (U2)
+  for each chunk of todo shards:
+      extract -> dynamic-partition-overwrite shard dirs (idempotent)
+      append lineage rows (docs, bytes, parse_failures, timestamps)
+
+Crash between the data commit and the lineage commit only causes that chunk
+to be re-extracted and overwritten in place — never duplicated, never
+dropped. This is the parquet stand-in for Iceberg overwrite-by-filter; with
+an Iceberg catalog the same code path commits snapshots instead.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import append_rows, write_extracted
+from .extraction import extract_pages
+
+LINEAGE_SUBDIR = "_lineage"
+
+
+def _lineage_path(out_dir: str) -> str:
+    return f"{out_dir.rstrip('/')}/{LINEAGE_SUBDIR}"
+
+
+def done_shards(spark: SparkSession, out_dir: str) -> set[int]:
+    try:
+        lin = spark.read.parquet(_lineage_path(out_dir))
+    except Exception:
+        return set()
+    rows = (
+        lin.filter(F.col("status") == "done")
+        .select("shard_id")
+        .distinct()
+        .collect()
+    )
+    return {r.shard_id for r in rows}
+
+
+def run_extraction_job(
+    pages: DataFrame,
+    out_dir: str,
+    n_shards: int = 16,
+    shards_per_commit: int = 4,
+    run_id: str | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    """Extract `pages` into `out_dir` (partitioned by shard_id), resuming
+    past completed shards. Returns run summary."""
+    spark = pages.sparkSession
+    run_id = run_id or uuid.uuid4().hex[:12]
+    done = done_shards(spark, out_dir)
+    todo = [s for s in range(n_shards) if s not in done]
+    total = {"run_id": run_id, "shards_done_prior": len(done), "chunks": 0,
+             "docs": 0}
+
+    sharded = pages.withColumn(
+        "shard_id", F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int")
+    )
+    for c0 in range(0, len(todo), shards_per_commit):
+        chunk = todo[c0 : c0 + shards_per_commit]
+        started = time.time()
+        part = sharded.filter(F.col("shard_id").isin(chunk))
+        # shard_id is re-derived from the url hash after extraction (cheaper
+        # than carrying it through the Arrow boundary or re-joining)
+        extracted = extract_pages(
+            part.select("url", "warc_ts", "html"),
+            num_partitions=num_partitions,
+        ).withColumn(
+            "shard_id", F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int")
+        )
+        write_extracted(
+            extracted, out_dir, partition_cols=["shard_id"],
+            overwrite_partitions=True,
+        )
+        # lineage/metrics row per shard in this chunk (read back the commit
+        # so counts reflect what is actually on disk)
+        committed = spark.read.parquet(out_dir).filter(
+            F.col("shard_id").isin(chunk)
+        )
+        lin = (
+            committed.groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("html_bytes").alias("bytes"),
+                F.sum(
+                    F.when(~F.col("parse_ok"), 1).otherwise(0)
+                ).alias("parse_failures"),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("started_ts", F.lit(started).cast("timestamp"))
+            .withColumn("finished_ts", F.current_timestamp())
+            .withColumn("status", F.lit("done"))
+            .select(
+                "run_id", "shard_id", "docs", "bytes", "parse_failures",
+                "started_ts", "finished_ts", "status",
+            )
+        )
+        append_rows(lin, _lineage_path(out_dir))
+        total["chunks"] += 1
+        total["docs"] += committed.count()
+    return total
+
+
+def resume_filter(pages: DataFrame, extracted_dir: str) -> DataFrame:
+    """Row-level resume: left-anti join against already-extracted urls (U2) —
+    used when restarting without shard lineage (e.g. foreign output)."""
+    spark = pages.sparkSession
+    try:
+        have = spark.read.parquet(extracted_dir).select("url")
+    except Exception:
+        return pages
+    return pages.join(have, "url", "left_anti")

@@ -1,0 +1,56 @@
+"""SparkSession factory with the engine's frozen configuration.
+
+Scale posture (tuned for a 1000-executor cluster, exercised on local[N]):
+  - AQE on: runtime shuffle-partition coalescing + skew-join splitting.
+  - Arrow on with a bounded records-per-batch so giant `html` binaries
+    (100-1000x median, FIXTURES.md §1) cannot blow the Python worker heap —
+    the analog of the reference's fixed-height resize bound
+    (/root/reference/ai_documents/detection/template_matching.py:169-188).
+  - shuffle.partitions defaults to the core count locally; on a real cluster
+    AQE coalesces from a deliberately high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Cap Arrow batch rows: html averages ~1-10 KB but giants reach MBs; 256 rows
+# bounds a batch to low tens of MB worst-case.
+ARROW_MAX_RECORDS = 256
+
+
+def get_spark(
+    app_name: str = "document_ai_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
+        shuffle_partitions = 32 if n == "*" else int(n)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

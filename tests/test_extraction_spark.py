@@ -1,0 +1,187 @@
+"""End-to-end Spark tests: pages -> extract_pages -> byte-identical golden
+join (the north-rule invariant), span fixtures, validation predicates,
+metrics aggregations, and idempotent shard resume."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_ai_spark.operators.extraction import (
+    extract_pages,
+    partition_metrics,
+)
+from document_ai_spark.operators.lineage import (
+    done_shards,
+    resume_filter,
+    run_extraction_job,
+)
+from document_ai_spark.operators.metrics import (
+    cause_confusion,
+    extraction_accuracy,
+)
+from document_ai_spark.operators.validation import validate_extracted
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, corpus_dir):
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    return extract_pages(pages, num_partitions=4).cache()
+
+
+def test_every_url_extracted_once(spark, corpus_dir, extracted):
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    assert extracted.count() == pages.count()
+    assert extracted.select("url").distinct().count() == pages.count()
+
+
+def test_byte_identical_main_text(spark, corpus_dir, extracted):
+    golden = spark.read.parquet(
+        os.path.join(corpus_dir, "golden_text.parquet")
+    )
+    j = extracted.join(golden, "url")
+    bad = j.filter(
+        (
+            F.col("expected_text").isNotNull()
+            & (
+                (F.col("main_text") != F.col("expected_text"))
+                | ~F.col("parse_ok")
+            )
+        )
+        | (F.col("expected_text").isNull() & F.col("parse_ok"))
+    )
+    rows = bad.select("url", "err").limit(5).collect()
+    assert not rows, f"byte mismatch on {rows}"
+    # UTF-8 BYTE identity, not just str equality
+    nonnull = j.filter(F.col("expected_text").isNotNull())
+    diff = nonnull.filter(
+        F.encode("main_text", "UTF-8") != F.encode("expected_text", "UTF-8")
+    ).count()
+    assert diff == 0
+
+
+def test_spans_match_golden(spark, corpus_dir, extracted):
+    golden_spans = spark.read.parquet(
+        os.path.join(corpus_dir, "golden_spans.parquet")
+    )
+    got = extracted.select(
+        "url", F.explode_outer("spans").alias("s")
+    ).filter(F.col("s").isNotNull()).select(
+        "url",
+        F.col("s.span_id").alias("span_id"),
+        F.col("s.start").alias("start"),
+        F.col("s.end").alias("end"),
+        F.col("s.block_id").alias("block_id"),
+        F.col("s.kind").alias("kind"),
+    )
+    assert got.count() == golden_spans.count()
+    mismatched = got.join(
+        golden_spans,
+        ["url", "span_id", "start", "end", "block_id", "kind"],
+        "left_anti",
+    ).count()
+    assert mismatched == 0
+
+
+def test_validation_causes_match_truth(spark, corpus_dir, extracted):
+    truth = spark.read.parquet(
+        os.path.join(corpus_dir, "verdict_truth.parquet")
+    )
+    validated = validate_extracted(extracted)
+    j = validated.select("url", "causes", "validated").join(
+        truth.select(
+            "url",
+            F.col("causes").alias("true_causes"),
+            F.col("validated").alias("true_validated"),
+        ),
+        "url",
+    )
+    bad = j.filter(
+        (F.col("causes") != F.col("true_causes"))
+        | (F.col("validated") != F.col("true_validated"))
+    )
+    rows = bad.limit(5).collect()
+    assert not rows, f"cause mismatch: {rows}"
+
+
+def test_confusion_matrix_perfect_predictor(spark, corpus_dir, extracted):
+    truth = spark.read.parquet(
+        os.path.join(corpus_dir, "verdict_truth.parquet")
+    )
+    pred = validate_extracted(extracted).select("url", "causes")
+    cm = cause_confusion(pred, truth).collect()
+    assert len(cm) == 5
+    for r in cm:
+        assert r.fp == 0 and r.fn == 0 and r.accuracy == 1.0
+
+
+def test_extraction_accuracy_all_exact(spark, corpus_dir, extracted):
+    golden = spark.read.parquet(
+        os.path.join(corpus_dir, "golden_text.parquet")
+    )
+    row = extraction_accuracy(extracted, golden).collect()[0]
+    assert row.content_accuracy == 1.0
+    assert row.filling_accuracy == 1.0
+    assert row.content_fuzzy_accuracy == 1.0
+    assert row.n_docs == 200
+
+
+def test_partition_metrics_totals(spark, extracted):
+    m = partition_metrics(extracted, "run1")
+    tot = m.agg(
+        F.sum("docs").alias("d"), F.sum("parse_failures").alias("pf")
+    ).collect()[0]
+    assert tot.d == 200
+    assert tot.pf == extracted.filter(~F.col("parse_ok")).count()
+
+
+def test_sharded_job_resumes_idempotently(spark, corpus_dir, tmp_path):
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    out = str(tmp_path / "extracted")
+    # first run: only commit the first chunk (simulate a crash by limiting)
+    r1 = run_extraction_job(
+        pages, out, n_shards=8, shards_per_commit=3, run_id="r1",
+        num_partitions=4,
+    )
+    assert r1["chunks"] == 3
+    done_before = done_shards(spark, out)
+    assert done_before == set(range(8))
+    n_after_first = spark.read.parquet(out).count()
+    assert n_after_first == 200
+    # re-run: everything already done -> no new chunks, no dup rows
+    r2 = run_extraction_job(
+        pages, out, n_shards=8, shards_per_commit=3, run_id="r2",
+        num_partitions=4,
+    )
+    assert r2["chunks"] == 0
+    assert spark.read.parquet(out).count() == 200
+    # partial lineage: drop 2 shards from lineage -> only those re-run
+    lin_path = os.path.join(out, "_lineage")
+    lin = spark.read.parquet(lin_path).filter(~F.col("shard_id").isin([0, 1]))
+    lin_pd = lin.toPandas()
+    import shutil
+
+    shutil.rmtree(lin_path)
+    spark.createDataFrame(lin_pd, schema=lin.schema).write.parquet(lin_path)
+    r3 = run_extraction_job(
+        pages, out, n_shards=8, shards_per_commit=8, run_id="r3",
+        num_partitions=4,
+    )
+    assert r3["chunks"] == 1
+    df = spark.read.parquet(out)
+    assert df.count() == 200  # overwrite, not duplicate
+    assert df.select("url").distinct().count() == 200
+
+
+def test_resume_filter_anti_join(spark, corpus_dir, tmp_path):
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    out = str(tmp_path / "ex2")
+    half = pages.limit(100)
+    extract_pages(half, num_partitions=2).withColumn(
+        "shard_id", F.lit(0)
+    ).write.partitionBy("shard_id").parquet(out)
+    remaining = resume_filter(pages, out)
+    assert remaining.count() == 100
+    assert remaining.join(half.select("url"), "url", "inner").count() == 0
