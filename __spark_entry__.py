@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf": P.q_extract_pdf,
         "extract_validate": P.q_extract_validate,
         "extract_confusion": P.q_extract_confusion,
+        "extract_spans": P.q_extract_spans,
         # relational operator inventory (SURVEY.md §2)
         "pricing_summary": Q.q_pricing_summary,
         "region_revenue": Q.q_region_revenue,
@@ -51,6 +52,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_price_parts": Q.q_nearest_price_parts,
         "distinct_suppliers": Q.q_distinct_suppliers,
         "running_value": Q.q_running_value,
+        "nearest_click_after_error": Q.q_nearest_click_after_error,
+        "customer_order_counts": Q.q_customer_order_counts,
+        "semi_anti_gate": Q.q_semi_anti_gate,
+        "collect_statuses": Q.q_collect_statuses,
         # training-data pipeline operators
         "dedup_exact": M.q_dedup_exact,
         "minhash_signatures": M.q_minhash_signatures,
@@ -73,6 +78,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_pdf": P.SQL_EXTRACT_PDF,
         "extract_validate": P.SQL_EXTRACT_VALIDATE,
         "extract_confusion": P.SQL_EXTRACT_CONFUSION,
+        "extract_spans": P.SQL_EXTRACT_SPANS,
         "pricing_summary": Q.SQL_PRICING_SUMMARY,
         "region_revenue": Q.SQL_REGION_REVENUE,
         "top_order_per_customer": Q.SQL_TOP_ORDER_PER_CUSTOMER,
@@ -88,6 +94,10 @@ def oracle_sql() -> dict[str, str]:
         "nearest_price_parts": Q.SQL_NEAREST_PRICE_PARTS,
         "distinct_suppliers": Q.SQL_DISTINCT_SUPPLIERS,
         "running_value": Q.SQL_RUNNING_VALUE,
+        "nearest_click_after_error": Q.SQL_NEAREST_CLICK_AFTER_ERROR,
+        "customer_order_counts": Q.SQL_CUSTOMER_ORDER_COUNTS,
+        "semi_anti_gate": Q.SQL_SEMI_ANTI_GATE,
+        "collect_statuses": Q.SQL_COLLECT_STATUSES,
         "dedup_exact": M.SQL_DEDUP_EXACT,
         "minhash_signatures": M.SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": M.SQL_MINHASH_LSH_PAIRS,

@@ -495,3 +495,134 @@ SELECT event_id, user_id,
             AS DOUBLE) AS running_value
 FROM events
 """
+
+# --------------------------------------------------------------------------
+# §2.3 J2 — spatial-style theta join: nearest 'click' after each 'error'
+# (same user, value-overlap gate, argmin time distance — the relational form
+# of the reference's "find next right word", document_parsing.py:132-198)
+# --------------------------------------------------------------------------
+
+def q_nearest_click_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts_us").alias("err_us"),
+        F.col("value").alias("err_value"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts_us").alias("click_us"),
+        F.col("value").alias("click_value"),
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("u") == F.col("cu"))
+        & (F.col("click_us") > F.col("err_us"))  # "next right" gate
+        & (F.abs(F.col("click_value") - F.col("err_value")) < 20),  # overlap
+    ).withColumn("dist_us", F.col("click_us") - F.col("err_us"))
+    w = W.partitionBy("error_id").orderBy("dist_us", "click_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("error_id", "click_id", "dist_us")
+    )
+
+
+SQL_NEAREST_CLICK_AFTER_ERROR = """
+SELECT error_id, click_id, dist_us FROM (
+  SELECT e.event_id AS error_id, c.event_id AS click_id,
+         epoch_us(c.ts) - epoch_us(e.ts) AS dist_us,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY epoch_us(c.ts) - epoch_us(e.ts),
+                                     c.event_id) AS rn
+  FROM events e JOIN events c
+    ON e.user_id = c.user_id
+   AND e.event_type = 'error' AND c.event_type = 'click'
+   AND epoch_us(c.ts) > epoch_us(e.ts)
+   AND abs(c.value - e.value) < 20)
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 J7 — left join with null defaults (coalesce)
+# --------------------------------------------------------------------------
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("t"),
+    )
+    return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+        F.coalesce("t", F.lit(0.0)).alias("total_spend"),
+    )
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c_custkey,
+       COALESCE(n, 0) AS n_orders,
+       COALESCE(t, 0.0) AS total_spend
+FROM customer LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS t
+  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.2 F7/F8 + §2.7 U3 — quality gate (left-semi) + exclusion (left-anti)
+# --------------------------------------------------------------------------
+
+def q_semi_anti_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    open_orders = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    gated = c.join(
+        open_orders, c.c_custkey == open_orders.o_custkey, "left_semi"
+    )
+    exclusions = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    kept = gated.join(exclusions, "c_custkey", "left_anti")
+    return kept.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+SQL_SEMI_ANTI_GATE = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+  AND c_custkey NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_custkey % 97 = 0)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 A9 — set-collect (sorted, joined for engine portability)
+# --------------------------------------------------------------------------
+
+def q_collect_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set("o_orderstatus"))
+        ).alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_COLLECT_STATUSES = """
+SELECT o_orderpriority,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+           AS statuses,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""

@@ -204,3 +204,37 @@ SELECT c.cause,
 FROM (SELECT unnest(['parse_failed','pdf_parse_failed','truncated_page',
                      'empty_main_text','low_density']) AS cause) c, n
 """
+
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span offsets (W5 cumulative offsets + M6 posexplode) oracle-checked
+    in closed form: the article page yields exactly one heading span and one
+    text span with computable offsets."""
+    d = _t(spark, sf_dir, "documents")
+    pages = _article_pages(d)
+    ex = extract_pages(pages, salted=False)
+    return ex.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.posexplode("spans").alias("pos", "s"),
+    ).select(
+        "doc_id",
+        F.col("s.span_id").cast("long").alias("span_id"),
+        F.col("s.start").cast("long").alias("start"),
+        F.col("s.end").cast("long").alias("end"),
+        F.col("s.kind").alias("kind"),
+    )
+
+
+SQL_EXTRACT_SPANS = """
+WITH base AS (
+  SELECT doc_id,
+         length('Doc ' || CAST(doc_id AS VARCHAR) || ' heading title words')
+             AS hlen,
+         length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS tlen
+  FROM documents)
+SELECT doc_id, CAST(0 AS BIGINT) AS span_id, CAST(0 AS BIGINT) AS start,
+       CAST(hlen AS BIGINT) AS "end", 'heading' AS kind
+FROM base
+UNION ALL
+SELECT doc_id, 1, CAST(hlen + 2 AS BIGINT), CAST(hlen + 2 + tlen AS BIGINT),
+       'text' FROM base
+"""
