@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_counts": Q.q_customer_order_counts,
         "semi_anti_gate": Q.q_semi_anti_gate,
         "collect_statuses": Q.q_collect_statuses,
+        "approx_distinct_users": Q.q_approx_distinct_users,
         # training-data pipeline operators
         "dedup_exact": M.q_dedup_exact,
         "minhash_signatures": M.q_minhash_signatures,

@@ -98,6 +98,45 @@ def _extract_batches(
         yield pd.DataFrame(out)
 
 
+# size-aware partitioning targets: raw bytes of html per post-shuffle
+# partition (compute skew bound) and per output file
+TARGET_PARTITION_BYTES = 64 * 1024 * 1024
+PARQUET_COMPRESSION_FACTOR = 3  # observed on-disk -> raw ratio for pages
+
+
+def estimate_input_bytes(df: DataFrame) -> int:
+    """Best-effort raw-byte estimate from the scan's file sizes (local fs;
+    0 when unknown). On a cluster the same numbers come from the catalog
+    (Iceberg table stats) — this is the parquet-fallback path."""
+    import os
+    from urllib.parse import urlparse
+
+    total = 0
+    try:
+        for f in df.inputFiles():
+            p = urlparse(f)
+            if p.scheme in ("file", ""):
+                try:
+                    total += os.path.getsize(p.path)
+                except OSError:
+                    pass
+    except Exception:
+        return 0
+    return total * PARQUET_COMPRESSION_FACTOR
+
+
+def size_aware_partitions(pages: DataFrame) -> int:
+    """Salt-partition count from input size: enough partitions that one
+    partition's html fits comfortably in an executor python worker
+    (TARGET_PARTITION_BYTES raw), floored at 4x parallelism so the
+    scheduler can smooth giant-page stragglers, capped to keep task
+    overhead sane on small inputs."""
+    parallelism = pages.sparkSession.sparkContext.defaultParallelism
+    est = estimate_input_bytes(pages)
+    by_size = est // TARGET_PARTITION_BYTES + 1 if est else 0
+    return max(4 * parallelism, by_size)
+
+
 def extract_pages(
     pages: DataFrame,
     num_partitions: int | None = None,
@@ -112,12 +151,10 @@ def extract_pages(
     """
     cols = pages.select("url", "warc_ts", "html")  # prune before Arrow
     if salted:
-        # 4x overpartitioning: giant pages (100-1000x median) make task
-        # durations skewed; more, smaller tasks let the scheduler smooth
-        # the stragglers
-        n = num_partitions or (
-            4 * cols.sparkSession.sparkContext.defaultParallelism
-        )
+        # size-aware salt count: >=4x overpartitioning (giant pages are
+        # UDF-compute skew the scheduler smooths with more, smaller tasks)
+        # and at most TARGET_PARTITION_BYTES of raw html per partition
+        n = num_partitions or size_aware_partitions(pages)
         cols = cols.repartition(n, F.pmod(F.xxhash64("url"), F.lit(n)))
     return cols.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
 

@@ -626,3 +626,16 @@ SELECT o_orderpriority,
        COUNT(*) AS n
 FROM orders GROUP BY o_orderpriority
 """
+
+# --------------------------------------------------------------------------
+# Engine addition (SURVEY.md §2.4 note): approximate distinct for dedup QA
+# at 10^12 scale — HLL sketch vs exact, per group. Rows-only driver check
+# (approximate results have no cross-engine oracle).
+# --------------------------------------------------------------------------
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

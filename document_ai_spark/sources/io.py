@@ -63,7 +63,13 @@ def write_extracted(
             w.append()
         return
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    writer = df.write.mode("overwrite" if overwrite_partitions else "append")
+    # Output-file sizing: the salt partition count is already size-aware
+    # (TARGET_PARTITION_BYTES of raw html per task -> ~tens of MB parquet
+    # per file); maxRecordsPerFile is the upper guard for pathological rows.
+    writer = (
+        df.write.mode("overwrite" if overwrite_partitions else "append")
+        .option("maxRecordsPerFile", 1_000_000)
+    )
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(target)
