@@ -185,3 +185,44 @@ def test_resume_filter_anti_join(spark, corpus_dir, tmp_path):
     remaining = resume_filter(pages, out)
     assert remaining.count() == 100
     assert remaining.join(half.select("url"), "url", "inner").count() == 0
+
+
+def test_crash_between_data_and_lineage_commit(spark, corpus_dir, tmp_path,
+                                               monkeypatch):
+    """Kill-mid-run semantics (FIXTURES.md resume test): crash AFTER a
+    chunk's data commit but BEFORE its lineage append -> the rerun
+    re-extracts only that chunk, overwriting in place; exactly one row per
+    url at the end."""
+    import document_ai_spark.operators.lineage as lineage_mod
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    out = str(tmp_path / "crash_out")
+
+    real_append = lineage_mod.append_rows
+    calls = {"n": 0}
+
+    def flaky_append(df, target):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash before lineage commit")
+        real_append(df, target)
+
+    monkeypatch.setattr(lineage_mod, "append_rows", flaky_append)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_extraction_job(
+            pages, out, n_shards=8, shards_per_commit=2, run_id="crash",
+            num_partitions=4,
+        )
+    monkeypatch.setattr(lineage_mod, "append_rows", real_append)
+
+    # chunk 1 committed fully; chunk 2 data may exist but has no lineage
+    assert done_shards(spark, out) == {0, 1}
+
+    r = run_extraction_job(
+        pages, out, n_shards=8, shards_per_commit=2, run_id="resume",
+        num_partitions=4,
+    )
+    assert r["shards_done_prior"] == 2
+    df = spark.read.parquet(out)
+    assert df.count() == 200
+    assert df.select("url").distinct().count() == 200
