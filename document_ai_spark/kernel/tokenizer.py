@@ -94,6 +94,9 @@ def tokenize_blocks(text: str) -> list[Block]:
 
     def flush() -> None:
         nonlocal frags, link_frags
+        if not frags:  # hot path: most block boundaries have no text
+            link_frags = []
+            return
         norm = _normalize(frags)
         if norm:
             link_norm = _normalize(link_frags)
@@ -133,8 +136,7 @@ def tokenize_blocks(text: str) -> list[Block]:
                 link_frags.append(u)
         pos = m.end()
 
-        close_name, open_name, _attrs, self_close = (
-            m.group(1), m.group(2), m.group(3), m.group(4))
+        close_name, open_name, _attrs, self_close = m.group(1, 2, 3, 4)
 
         if open_name is not None:
             name = open_name.lower()
