@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_gate": Q.q_semi_anti_gate,
         "collect_statuses": Q.q_collect_statuses,
         "approx_distinct_users": Q.q_approx_distinct_users,
+        "interval_union": Q.q_interval_union,
+        "pivot_order_status": Q.q_pivot_order_status,
         # training-data pipeline operators
         "dedup_exact": M.q_dedup_exact,
         "minhash_signatures": M.q_minhash_signatures,
@@ -99,6 +101,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_counts": Q.SQL_CUSTOMER_ORDER_COUNTS,
         "semi_anti_gate": Q.SQL_SEMI_ANTI_GATE,
         "collect_statuses": Q.SQL_COLLECT_STATUSES,
+        "interval_union": Q.SQL_INTERVAL_UNION,
+        "pivot_order_status": Q.SQL_PIVOT_ORDER_STATUS,
         "dedup_exact": M.SQL_DEDUP_EXACT,
         "minhash_signatures": M.SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": M.SQL_MINHASH_LSH_PAIRS,

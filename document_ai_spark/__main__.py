@@ -105,6 +105,16 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from document_ai_spark.operators.compact import compact_table
+
+    spark = _spark(args)
+    stats = compact_table(spark, args.table,
+                          target_file_bytes=args.target_mb * 1024 * 1024)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from pyspark.sql import functions as F
 
@@ -152,6 +162,11 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--shards-per-commit", type=int, default=4)
     e.add_argument("--run-id", default=None)
     e.set_defaults(fn=cmd_extract)
+
+    k = sub.add_parser("compact", help="rewrite table into size-targeted files")
+    k.add_argument("--table", required=True)
+    k.add_argument("--target-mb", type=int, default=128)
+    k.set_defaults(fn=cmd_compact)
 
     v = sub.add_parser("validate", help="QA predicates + golden accuracy")
     v.add_argument("--extracted", required=True)

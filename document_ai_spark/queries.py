@@ -639,3 +639,91 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+# --------------------------------------------------------------------------
+# §2.8 X7 analog — interval union (merge overlapping spans/boxes): flag a
+# new group when an interval starts after the running max end, then
+# aggregate per merged group. Window + cumulative max, no UDF.
+# --------------------------------------------------------------------------
+
+INTERVAL_LEN_US = 600 * 1_000_000  # each event spans [ts, ts + 10 min)
+
+
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn(
+        "s", F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    ).withColumn("e", F.col("s") + INTERVAL_LEN_US)
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    grouped = e.withColumn(
+        "new_grp",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "grp",
+        F.sum("new_grp").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return grouped.groupBy("user_id", "grp").agg(
+        F.min("s").alias("merged_start"),
+        F.max("e").alias("merged_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "user_id", "merged_start", "merged_end", "n_events",
+        (F.col("merged_end") - F.col("merged_start")).alias("covered_us"),
+    )
+
+
+SQL_INTERVAL_UNION = f"""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {INTERVAL_LEN_US} AS e
+  FROM events),
+flagged AS (
+  SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+              AS new_grp
+  FROM (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max
+        FROM iv)),
+grp AS (
+  SELECT *, SUM(new_grp) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS grp
+  FROM flagged)
+SELECT user_id, MIN(s) AS merged_start, MAX(e) AS merged_end,
+       COUNT(*) AS n_events,
+       MAX(e) - MIN(s) AS covered_us
+FROM grp GROUP BY user_id, grp
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot (wide aggregation) — fixed column set so both engines agree
+# --------------------------------------------------------------------------
+
+def q_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+SQL_PIVOT_ORDER_STATUS = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_p
+FROM orders GROUP BY o_orderpriority
+"""

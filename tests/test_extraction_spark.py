@@ -226,3 +226,42 @@ def test_crash_between_data_and_lineage_commit(spark, corpus_dir, tmp_path,
     df = spark.read.parquet(out)
     assert df.count() == 200
     assert df.select("url").distinct().count() == 200
+
+
+def test_compaction_stage_and_swap(spark, corpus_dir, tmp_path):
+    """Small-file compaction: fragmented shard partitions rewritten into
+    size-targeted files; rows, values, and lineage preserved."""
+    from document_ai_spark.operators.compact import (
+        compact_table,
+        table_file_stats,
+    )
+
+    from document_ai_spark.sources.io import write_extracted
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    out = str(tmp_path / "frag")
+    run_extraction_job(pages, out, n_shards=8, shards_per_commit=8,
+                       run_id="frag", num_partitions=4)
+    # fragment: a second append per shard (streaming/incremental analog)
+    extra = spark.read.parquet(out)
+    write_extracted(extra, out, partition_cols=["shard_id"],
+                    overwrite_partitions=False)
+    before = table_file_stats(out)
+    assert before["n_files"] >= 16  # >=2 files per shard
+    pd_before = (
+        spark.read.parquet(out).select("url", "main_text")
+        .orderBy("url", "main_text").toPandas().reset_index(drop=True)
+    )
+    assert len(pd_before) == 400  # duplicated on purpose
+
+    stats = compact_table(spark, out, target_file_bytes=64 * 1024 * 1024)
+    assert stats["after"]["n_files"] < before["n_files"]
+    assert stats["rows"] == 400
+    pd_after = (
+        spark.read.parquet(out).select("url", "main_text")
+        .orderBy("url", "main_text").toPandas().reset_index(drop=True)
+    )
+    assert pd_before.equals(pd_after)
+    # lineage survived the swap
+    lin = spark.read.parquet(os.path.join(out, "_lineage"))
+    assert lin.count() >= 8
