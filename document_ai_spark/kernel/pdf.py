@@ -23,6 +23,10 @@ _TD_RE = re.compile(
     rb"(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+T[dD]"
 )
 _TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
+# TJ array form: [(seg) -20 (ment)] TJ — string segments concatenated,
+# numeric kerning adjustments ignored (frozen policy)
+_TJ_ARRAY_RE = re.compile(rb"\[((?:[^\[\]\\]|\\.)*)\]\s*TJ")
+_TJ_SEG_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -70,6 +74,7 @@ def extract_pdf_lines(raw: bytes) -> list[tuple[float, float, str]]:
         events = sorted(
             [(m.start(), "td", m) for m in _TD_RE.finditer(body)]
             + [(m.start(), "tj", m) for m in _TJ_RE.finditer(body)]
+            + [(m.start(), "tja", m) for m in _TJ_ARRAY_RE.finditer(body)]
             + [(m.start(), "bt", m) for m in re.finditer(rb"\bBT\b", body)]
         )
         for _pos, kind, m in events:
@@ -79,7 +84,13 @@ def extract_pdf_lines(raw: bytes) -> list[tuple[float, float, str]]:
                 x += float(m.group(1))
                 y += float(m.group(2))
             else:
-                txt = _unescape_pdf_string(m.group(1))
+                if kind == "tja":
+                    txt = "".join(
+                        _unescape_pdf_string(seg.group(1))
+                        for seg in _TJ_SEG_RE.finditer(m.group(1))
+                    )
+                else:
+                    txt = _unescape_pdf_string(m.group(1))
                 if txt:
                     spans.append((y, x, order, txt))
                     order += 1

@@ -265,3 +265,21 @@ def test_compaction_stage_and_swap(spark, corpus_dir, tmp_path):
     # lineage survived the swap
     lin = spark.read.parquet(os.path.join(out, "_lineage"))
     assert lin.count() >= 8
+
+
+def test_grouped_accuracy_grouping_sets(spark, corpus_dir, extracted):
+    """A2 grouping sets over extraction accuracy: one pass, overall row +
+    per-dimension rows."""
+    from document_ai_spark.operators.metrics import grouped_accuracy
+
+    golden = spark.read.parquet(
+        os.path.join(corpus_dir, "golden_text.parquet")
+    ).withColumn("bucket", F.col("expected_parse_ok").cast("string"))
+    res = grouped_accuracy(extracted, golden, ["bucket", "parse_ok"])
+    rows = res.collect()
+    overall = [r for r in rows if r.bucket is None and r.parse_ok is None]
+    assert len(overall) == 1 and overall[0].n_docs == 200
+    assert overall[0].content_accuracy == 1.0
+    assert {r.bucket for r in rows if r.bucket is not None} == {
+        "true", "false"
+    }

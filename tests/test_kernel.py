@@ -197,3 +197,23 @@ def test_extract_deterministic():
     raw = f"<h1>T A B</h1><p>{LONG}</p>".encode()
     a, b = extract_document(raw), extract_document(raw)
     assert a.main_text == b.main_text and len(a.spans) == len(b.spans)
+
+
+def test_pdf_tj_array_form():
+    pdf = (
+        b"%PDF-1.4\n1 0 obj << /Length 80 >>\nstream\n"
+        b"BT /F1 12 Tf 72 700 Td [(Hel) -20 (lo wor) 5 (ld)] TJ ET\n"
+        b"endstream\nendobj\n%%EOF\n"
+    )
+    res = extract_document(pdf)
+    assert res.parse_ok
+    assert res.main_text == "Hello world"
+
+
+def test_decode_utf16_bom():
+    raw = "﻿<p>utf sixteen text here</p>".encode("utf-16")
+    text, cs = decode_html(raw)
+    assert cs == "utf-16"
+    res = extract_document(raw)
+    # utf-16 has no %PDF magic and decodes through the BOM branch
+    assert res.parse_ok
