@@ -1,0 +1,123 @@
+"""Regenerate PLANS.md from live .explain("formatted") output.
+
+Usage: python scripts/gen_plans.py [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from document_ai_spark import queries as Q
+    from document_ai_spark import queries_ml as M
+    from document_ai_spark import queries_pipeline as P
+    from document_ai_spark.datagen import write_corpus
+    from document_ai_spark.operators.extraction import extract_pages
+    from document_ai_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    jvm = spark._jvm
+    sf = args.sf_dir
+
+    def plan(df, keep=None):
+        s = df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        lines = s.splitlines()
+        tree_end = next(
+            (i for i, line in enumerate(lines) if line.strip() == ""),
+            len(lines),
+        )
+        tree = lines[:tree_end]
+        extra = [
+            line for line in lines if keep and any(k in line for k in keep)
+        ]
+        return "\n".join(tree + (["..."] + extra if extra else []))
+
+    # the production extraction path (salted) over a real corpus sample
+    import tempfile
+
+    td = tempfile.mkdtemp(prefix="plans_corpus_")
+    write_corpus(td, n_docs=200, verify=False)
+    pages = spark.read.parquet(os.path.join(td, "pages.parquet"))
+    salted_plan = plan(extract_pages(pages))
+
+    out = [
+        """# PLANS — physical-plan evidence for the flagship queries
+
+Generated from `.explain("formatted")` at sf0.01 on local[8]. Regenerate
+with `python scripts/gen_plans.py`. The point of each plan is noted, with
+the 100 TB question answered: would this survive a 1000-executor cluster?
+""",
+        "## extraction job (production path, salted)\n",
+        "```\n" + salted_plan + "\n```\n",
+        """**Scale notes.** One scan -> one hash-partition Exchange (the
+size-aware salt: `pmod(xxhash64(url), n)` with n derived from input bytes —
+64 MB raw html per task, >=4x parallelism) -> a single `MapInArrow` span
+runs the whole kernel. At 100 TB the salt count grows with input size so
+per-task memory stays bounded; the only Python crossing is one
+Arrow-batched stage; no driver-side loop, no collect. (The oracle query
+`extract_article` uses `salted=False` on freshly synthesized uniform input
+— same plan minus the Exchange.)
+""",
+        "## pricing_summary — pushdown + partial aggregation\n",
+        "```\n"
+        + plan(
+            Q.q_pricing_summary(spark, sf),
+            keep=["PushedFilters", "ReadSchema"],
+        )
+        + "\n```\n",
+        """**Scale notes.** `LessThan(l_quantity,50.0)` is in
+`PushedFilters` and `ReadSchema` carries only the 5 referenced columns —
+at 100 TB the scan skips row groups by statistics and never materializes
+unused columns. `HashAggregate` appears twice (partial then final): the
+shuffle carries one row per group per task, not per input row.
+""",
+        "## region_revenue — broadcast dimension joins\n",
+        "```\n" + plan(Q.q_region_revenue(spark, sf)) + "\n```\n",
+        """**Scale notes.** All dimension joins are `BroadcastHashJoin` —
+zero shuffle on the fact table until the final aggregation Exchange. At
+100 TB nation/region always broadcast; customer/orders flip to shuffle
+joins automatically when they outgrow the threshold, and AQE re-plans at
+runtime — nothing in the query changes.
+""",
+        "## minhash_signatures — dedup at scale\n",
+        "```\n" + plan(M.q_minhash_signatures(spark, sf)) + "\n```\n",
+        """**Scale notes.** Shingling is pure column expressions
+(`transform`/`sequence` over a `words` array materialized once per row —
+inlining the split would be O(words^2) per doc). The only shuffles are the
+DISTINCT and the final per-doc aggregation, both on uniformly-distributed
+keys; the 8 minhash aggregates are one partial+final hash-aggregate pass.
+""",
+        "## interval_union — window cumulative-max grouping\n",
+        "```\n" + plan(Q.q_interval_union(spark, sf)) + "\n```\n",
+        """**Scale notes.** One Exchange on user_id feeds both window
+functions and the final aggregation (same partitioning reused — no second
+shuffle). Skewed users would concentrate in single window partitions; at
+crawl scale the per-user event counts are bounded, and a pathological key
+would be salted the same way the extraction path salts urls.
+""",
+    ]
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"),
+        "w",
+    ) as f:
+        f.write("\n".join(out))
+    print("PLANS.md written")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
