@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": M.q_embedding_near_dups,
         "simhash": M.q_simhash,
         "ann_lsh_buckets": M.q_ann_lsh_buckets,
+        "ann_ivf_topk": M.q_ann_ivf_topk,
+        "dedup_clusters": M.q_dedup_clusters,
         "lang_id": M.q_lang_id,
         "quality_score": M.q_quality_score,
         "token_count": M.q_token_count,
@@ -113,5 +115,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": M.SQL_QUALITY_SCORE,
         "token_count": M.SQL_TOKEN_COUNT,
         "fingerprint": M.SQL_FINGERPRINT,
-        # simhash / ann_lsh_buckets: intentionally no oracle (bit-level ops)
+        # simhash / ann_lsh_buckets / ann_ivf_topk / dedup_clusters:
+        # intentionally no oracle (bit-level ops, KMeans, iterative CC)
     }

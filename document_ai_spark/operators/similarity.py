@@ -1,0 +1,158 @@
+"""Scale-path similarity operators.
+
+- IVF approximate nearest neighbour: a KMeans coarse quantizer (pyspark.ml)
+  partitions vectors into inverted lists; a query probes only the nprobe
+  nearest lists. At 10^12 scale the lists are the physical partitioning of
+  the vector table, so a probe touches a handful of partitions instead of
+  the full corpus (brute force stays as the small-N baseline in
+  queries_ml.q_ann_cosine_topk).
+
+- Connected components by iterative min-label propagation: turns dedup
+  candidate pairs (MinHash/LSH, embedding near-dups) into duplicate
+  clusters with O(log n) rounds of self-joins — the shuffle-friendly way;
+  no driver-side union-find, no graph library.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_LISTS = 16
+N_PROBE = 6
+
+
+def _with_double_vec(e: DataFrame, col: str = "embedding") -> DataFrame:
+    """L2-normalized vector column — cosine NN search quantizes on the unit
+    sphere, so the coarse KMeans must see normalized vectors too."""
+    from pyspark.ml.functions import array_to_vector
+
+    dv = F.transform(F.col(col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda acc, v: acc + v * v))
+    return e.withColumn(
+        "_vec",
+        array_to_vector(F.transform(dv, lambda x: x / norm)),
+    )
+
+
+def build_ivf_index(embeddings: DataFrame, n_lists: int = N_LISTS,
+                    seed: int = 42):
+    """Fit the coarse quantizer and assign every vector to a list.
+    Returns (model, assigned_df with `list_id`)."""
+    from pyspark.ml.clustering import KMeans
+
+    vec = _with_double_vec(embeddings)
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_vec",
+                predictionCol="list_id")
+    model = km.fit(vec)
+    assigned = model.transform(vec)
+    return model, assigned
+
+
+def ivf_topk(embeddings: DataFrame, probe_vec_id: int, k: int = 10,
+             n_lists: int = N_LISTS, n_probe: int = N_PROBE,
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k by cosine: search only the n_probe lists whose
+    centroids are nearest to the probe vector."""
+    import numpy as np
+
+    model, assigned = build_ivf_index(embeddings, n_lists, seed)
+    centers = np.stack(model.clusterCenters())
+    probe = (
+        embeddings.filter(F.col("vec_id") == probe_vec_id)
+        .select("embedding").collect()[0][0]
+    )
+    q = np.array(probe, dtype=np.float64)
+    qn = q / np.sqrt((q * q).sum())
+    d = ((centers - qn) ** 2).sum(axis=1)
+    probe_lists = [int(i) for i in np.argsort(d)[:n_probe]]
+
+    cand = assigned.filter(
+        F.col("list_id").isin(probe_lists) & (F.col("vec_id") != probe_vec_id)
+    )
+    qcol = F.array(*[F.lit(float(v)) for v in q])
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(dv, qcol, lambda a, b: a * b), F.lit(0.0),
+                      lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = float(np.sqrt((q * q).sum()))
+    return (
+        cand.select("vec_id", F.round(dot / (na * F.lit(nb)), 6)
+                    .alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """edges(src BIGINT, dst BIGINT) -> (node, component) where component is
+    the minimum node id reachable. Iterative min-label propagation:
+    each round joins labels across edges and keeps the per-node minimum;
+    stops when no label changes. O(diameter) rounds, all shuffle-friendly
+    hash joins on node id."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _i in range(max_iter):
+        # candidate labels flowing across edges
+        prop = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"),
+                    F.col("component").alias("cand"))
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .groupBy("node")
+            .agg(F.least(F.min("component"), F.min("cand")).alias("component"))
+        )
+        # pointer jumping: component <- label(component); combined with the
+        # edge propagation this converges in O(log diameter) rounds instead
+        # of O(diameter)
+        new_labels = (
+            new_labels.alias("a")
+            .join(
+                new_labels.select(
+                    F.col("node").alias("jnode"),
+                    F.col("component").alias("jcomp"),
+                ),
+                F.col("a.component") == F.col("jnode"),
+                "left",
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(
+                    F.col("a.component"),
+                    F.coalesce(F.col("jcomp"), F.col("a.component")),
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a",
+                   id_b: str = "doc_b") -> DataFrame:
+    """Candidate near-dup pairs -> (doc_id, cluster_id, is_keeper): keeper =
+    minimum doc id of the component (the reference's keep-first policy)."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )

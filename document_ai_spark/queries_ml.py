@@ -582,3 +582,25 @@ FROM (SELECT DISTINCT doc_id,
       FROM ({_SQL_WORDS_CTE}))
 GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Scale-path similarity (rows-only driver checks: KMeans / iterative CC)
+# --------------------------------------------------------------------------
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k vs probe vec 0 (coarse KMeans quantizer +
+    nprobe nearest lists — the 10^12-scale ANN path)."""
+    from .operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, probe_vec_id=0, k=10)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH candidate pairs -> duplicate clusters via iterative
+    min-label propagation with pointer jumping (O(log diameter) rounds)."""
+    from .operators.similarity import dedup_clusters
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    return dedup_clusters(pairs)
