@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": M.q_quality_score,
         "token_count": M.q_token_count,
         "fingerprint": M.q_fingerprint,
+        "next_word_after_key": M.q_next_word_after_key,
+        "winnow_fingerprint": M.q_winnow_fingerprint,
     }
 
 
@@ -115,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": M.SQL_QUALITY_SCORE,
         "token_count": M.SQL_TOKEN_COUNT,
         "fingerprint": M.SQL_FINGERPRINT,
+        "next_word_after_key": M.SQL_NEXT_WORD_AFTER_KEY,
         # simhash / ann_lsh_buckets / ann_ivf_topk / dedup_clusters:
         # intentionally no oracle (bit-level ops, KMeans, iterative CC)
     }

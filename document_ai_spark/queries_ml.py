@@ -604,3 +604,107 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = q_minhash_lsh_pairs(spark, sf_dir)
     return dedup_clusters(pairs)
+
+
+# --------------------------------------------------------------------------
+# "Find next right word" in 1-D text (the reference's signature geometric
+# KV query, document_parsing.py:132-198, flattened to text order): for each
+# occurrence of a key, the word immediately after it.
+# --------------------------------------------------------------------------
+
+_KV_KEYS = ["spark", "window", "batch"]
+
+
+def q_next_word_after_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    # Spark's regexp_extract needs a foldable pattern -> one branch per key,
+    # unioned (3 keys; Catalyst still reads the table once per branch but
+    # pushes the projection)
+    parts = None
+    for key in _KV_KEYS:
+        nxt = F.regexp_extract(
+            F.col("text"), rf"\b{key}\s+([a-z]+)", 1
+        )
+        part = d.select(
+            "doc_id",
+            F.lit(key).alias("key"),
+            F.when(nxt == "", F.lit("<NOT_FOUND>")).otherwise(nxt).alias(
+                "next_word"
+            ),
+        )
+        parts = part if parts is None else parts.unionAll(part)
+    return parts
+
+
+SQL_NEXT_WORD_AFTER_KEY = r"""
+SELECT doc_id, key,
+       CASE WHEN v = '' OR v IS NULL THEN '<NOT_FOUND>' ELSE v END
+           AS next_word
+FROM (
+  SELECT doc_id, key,
+         regexp_extract(text, '\b' || key || '\s+([a-z]+)', 1) AS v
+  FROM documents,
+       (SELECT unnest(['spark','window','batch']) AS key))
+"""
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprint (rolling Rabin-Karp hash + window minima) — the
+# classic local document fingerprint (Schleimer et al., "Winnowing").
+# Vectorized pandas UDF; rows-only driver check (bit-level hashing).
+# --------------------------------------------------------------------------
+
+_WINNOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fingerprints", T.ArrayType(T.LongType())),
+    ]
+)
+
+_RK_BASE = 257
+_RK_MOD = (1 << 61) - 1
+_KGRAM = 8
+_WINDOW = 5
+
+
+def _winnow_one(text: str) -> list[int]:
+    s = " ".join((text or "").split()).lower()
+    n = len(s)
+    if n < _KGRAM:
+        return []
+    # rolling Rabin-Karp over k-grams
+    base_k = pow(_RK_BASE, _KGRAM - 1, _RK_MOD)
+    h = 0
+    hashes = []
+    for i, ch in enumerate(s):
+        h = (h * _RK_BASE + ord(ch)) % _RK_MOD
+        if i >= _KGRAM - 1:
+            hashes.append(h)
+            h = (h - ord(s[i - _KGRAM + 1]) * base_k) % _RK_MOD
+    # winnowing: minimum per window, recorded once per run
+    out = []
+    last = -1
+    for w in range(len(hashes) - _WINDOW + 1):
+        window = hashes[w : w + _WINDOW]
+        m = min(range(_WINDOW), key=lambda j: (window[j], j)) + w
+        if m != last:
+            out.append(hashes[m])
+            last = m
+    return out
+
+
+def _winnow_batches(it):
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fingerprints": [
+                    _winnow_one(t) for t in pdf["text"]
+                ],
+            }
+        )
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_winnow_batches, schema=_WINNOW_SCHEMA)

@@ -78,3 +78,45 @@ def test_nfd_strip_accents(spark):
     )
     got = [r.o for r in df.select(nfd_strip_accents("s").alias("o")).collect()]
     assert got == ["Kilometrage", "Restitue", "plain", "naive ca"]
+
+
+def test_lang_id_discriminates_real_text(spark):
+    from document_ai_spark.queries_ml import _LANG_PATTERNS  # noqa: F401
+    import tempfile, os
+    import pyarrow as pa, pyarrow.parquet as pq
+
+    rows = [
+        (1, "the cat and the dog sat in the garden of the house", "en"),
+        (2, "der Hund und die Katze sind nicht in das Haus gegangen", "de"),
+        (3, "le chat et les chiens sont dans une des maisons", "fr"),
+        (4, "los gatos y el perro de una casa que ladra por la noche", "es"),
+        (5, "这是一个中文句子 有很多汉字在里面", "zh"),
+    ]
+    td = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": ["t"] * 5,
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }),
+        os.path.join(td, "documents.parquet"),
+    )
+    from document_ai_spark.queries_ml import q_lang_id
+
+    got = {r.doc_id: r.pred_lang for r in q_lang_id(spark, td).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh"}
+
+
+def test_winnow_fingerprint_properties(spark):
+    from document_ai_spark.queries_ml import _winnow_one
+
+    a = _winnow_one("the quick brown fox jumps over the lazy dog")
+    b = _winnow_one("the quick brown fox jumps over the lazy dog")
+    assert a and a == b  # deterministic
+    # local change only perturbs nearby fingerprints (winnowing locality)
+    c = _winnow_one("the quick brown fox jumps over the hazy dog")
+    overlap = len(set(a) & set(c)) / len(set(a))
+    assert overlap > 0.4
+    assert _winnow_one("short") == []
