@@ -148,3 +148,27 @@ def grouped_accuracy(extracted: DataFrame, golden: DataFrame,
         GROUP BY GROUPING SETS ((), {sets})
         """
     )
+
+
+def error_rows(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """Per-cause mismatch rows (the reference's per-cause error CSVs,
+    /root/reference/performances.py:82-93): for every (url, cause) where
+    prediction and truth disagree, emit the disagreement kind."""
+    spark = pred.sparkSession
+    causes_dim = spark.createDataFrame([(c,) for c in CAUSES], ["cause"])
+    joined = pred.select("url", F.col("causes").alias("pred_causes")).join(
+        truth.select("url", F.col("causes").alias("true_causes")), "url"
+    )
+    expanded = joined.crossJoin(F.broadcast(causes_dim)).select(
+        "url",
+        "cause",
+        F.array_contains("pred_causes", F.col("cause")).alias("p"),
+        F.array_contains("true_causes", F.col("cause")).alias("t"),
+    )
+    return expanded.filter(F.col("p") != F.col("t")).select(
+        "url",
+        "cause",
+        F.when(F.col("p"), F.lit("false_positive"))
+        .otherwise(F.lit("false_negative"))
+        .alias("kind"),
+    )

@@ -283,3 +283,83 @@ def test_grouped_accuracy_grouping_sets(spark, corpus_dir, extracted):
     assert {r.bucket for r in rows if r.bucket is not None} == {
         "true", "false"
     }
+
+
+def test_salting_balances_adversarial_order(spark):
+    """All giant pages clustered at the head of the input (worst case for
+    split-based balance): after the salted repartition, per-partition html
+    bytes stay near-uniform."""
+    from document_ai_spark.datagen import gen_rows
+
+    rows = sorted(
+        gen_rows(400, seed=11), key=lambda r: -len(r.html)
+    )  # giants first — adversarial clustering
+    pages = spark.createDataFrame(
+        [(r.url, r.warc_ts, r.html) for r in rows],
+        "url string, warc_ts timestamp, html binary",
+    ).coalesce(2)  # giants concentrated in partition 0
+    salted = extract_pages(pages, num_partitions=16)
+    giant_cut = 20000  # giants are ~36KB vs ~3KB median
+    per_part = (
+        salted.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(
+            F.sum("html_bytes").alias("b"),
+            F.sum(F.when(F.col("html_bytes") > giant_cut, 1).otherwise(0))
+            .alias("giants"),
+        )
+        .collect()
+    )
+    total_giants = sum(r.giants for r in per_part)
+    assert total_giants == 20
+    # no partition inherits the adversarial giant cluster
+    assert max(r.giants for r in per_part) <= 0.4 * total_giants, per_part
+    sizes = [r.b for r in per_part]
+    assert max(sizes) / (sum(sizes) / len(sizes)) < 4.0, sizes
+
+
+def test_error_rows_harness(spark):
+    from document_ai_spark.operators.metrics import error_rows
+
+    pred = spark.createDataFrame(
+        [("u1", ["parse_failed"]), ("u2", []), ("u3", ["empty_main_text"])],
+        "url string, causes array<string>",
+    )
+    truth = spark.createDataFrame(
+        [("u1", []), ("u2", ["low_density"]), ("u3", ["empty_main_text"])],
+        "url string, causes array<string>",
+    )
+    got = {(r.url, r.cause): r.kind for r in error_rows(pred, truth).collect()}
+    assert got == {
+        ("u1", "parse_failed"): "false_positive",
+        ("u2", "low_density"): "false_negative",
+    }
+
+
+def test_validate_cli_exit_code_on_mismatch(spark, corpus_dir, tmp_path):
+    """Negative path: corrupted goldens -> validate exits 3."""
+    from document_ai_spark.__main__ import main as cli_main
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    out = str(tmp_path / "x")
+    extract_pages(pages, num_partitions=4).withColumn(
+        "shard_id", F.lit(0)
+    ).write.partitionBy("shard_id").parquet(out)
+    golden = spark.read.parquet(
+        os.path.join(corpus_dir, "golden_text.parquet")
+    )
+    bad = golden.withColumn(
+        "expected_text",
+        F.when(F.col("expected_text").isNotNull(),
+               F.concat(F.col("expected_text"), F.lit("CORRUPT"))),
+    )
+    bad_path = str(tmp_path / "bad_golden")
+    bad.write.parquet(bad_path)
+    rc = cli_main(
+        ["validate", "--extracted", out, "--golden", bad_path]
+    )
+    assert rc == 3
+    rc_ok = cli_main(
+        ["validate", "--extracted", out, "--golden",
+         os.path.join(corpus_dir, "golden_text.parquet")]
+    )
+    assert rc_ok == 0
