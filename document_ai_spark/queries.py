@@ -22,6 +22,10 @@ from pyspark.sql.window import Window as W
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # epoch conversions (unix_micros over NTZ->LTZ casts) must agree with
+    # the DuckDB oracle's epoch_us regardless of who built the session —
+    # pin the runtime-settable session timezone on every table access
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
