@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": M.q_fingerprint,
         "next_word_after_key": M.q_next_word_after_key,
         "winnow_fingerprint": M.q_winnow_fingerprint,
+        "media_features": M.q_media_features,
     }
 
 

@@ -708,3 +708,27 @@ def _winnow_batches(it):
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_winnow_batches, schema=_WINNOW_SCHEMA)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing demo over driver tables: documents' text bytes as
+    opaque image payloads -> feature extraction via the stubbed decoder
+    (operators/multimodal.py). Rows-only driver check."""
+    from .operators.multimodal import MEDIA_SCHEMA, image_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/x-fake").alias("mime"),
+        F.struct(
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    assert [f.name for f in MEDIA_SCHEMA.fields] == [
+        "media_id", "kind", "payload", "mime", "meta"
+    ]
+    return image_features(media)

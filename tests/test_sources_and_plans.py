@@ -11,11 +11,7 @@ from pyspark.sql import types as T
 from document_ai_spark import queries as Q
 
 
-def _plan(df) -> str:
-    jvm = df.sparkSession._jvm
-    return df._jdf.queryExecution().explainString(
-        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+from document_ai_spark.plans.audit import formatted_plan as _plan
 
 
 def test_csv_golden_roundtrip(spark, corpus_dir, tmp_path):
