@@ -219,24 +219,34 @@ def run_scaling(corpus: str) -> dict:
     order = [lo, hi, lo, hi] + list(SCALE_CORES[2:])
     runs: dict = {}
     trials: dict = {lo: [], hi: []}
+    norm_trials: dict = {lo: [], hi: []}
     probes = []
     for i, cores in enumerate(order):
-        probes.append(_cpu_probe(corpus))
+        probe = _cpu_probe(corpus)
+        probes.append(probe)
         r = _one_scaling_run(
             corpus, zpath, cores, os.path.join(tmp, f"out_{cores}_{i}"),
             has_taskset,
         )
         if cores in trials:
             trials[cores].append(r["docs_per_sec"])
+            norm_trials[cores].append(r["docs_per_sec"] / probe)
         if cores not in runs or r["docs_per_sec"] > runs[cores]["docs_per_sec"]:
             runs[cores] = r
     # Efficiency from ADJACENT-IN-TIME (lo, hi) pairs, best pair wins:
     # host speed drifts between runs, so pairing adjacent trials cancels
     # the drift; best-of-each-width could mix a fast lo window with a slow
-    # hi window (or vice versa) and skew the ratio either way.
+    # hi window (or vice versa) and skew the ratio either way. A second,
+    # probe-normalized estimate divides each run's throughput by the
+    # single-thread probe taken just before it (auditable in the JSON).
     pair_effs = [
         (h / l) / (hi / lo)
         for l, h in zip(trials[lo], trials[hi])
+        if l > 0
+    ]
+    norm_pair_effs = [
+        (h / l) / (hi / lo)
+        for l, h in zip(norm_trials[lo], norm_trials[hi])
         if l > 0
     ]
     eff_pairwise = max(pair_effs) if pair_effs else 0.0
@@ -246,7 +256,13 @@ def run_scaling(corpus: str) -> dict:
         "html_mb": round(runs[lo]["html_bytes"] / 1e6, 1),
         "scaling_pair": f"local[{lo}] -> local[{hi}]",
         "scaling_efficiency": round(eff_pairwise, 3),
+        "scaling_efficiency_probe_normalized": round(
+            max(norm_pair_effs) if norm_pair_effs else 0.0, 3
+        ),
         "pairwise_efficiencies": [round(e, 3) for e in pair_effs],
+        "pairwise_efficiencies_probe_normalized": [
+            round(e, 3) for e in norm_pair_effs
+        ],
         "trials_docs_per_sec": {str(k): v for k, v in trials.items()},
         "cpu_probe_docs_per_sec": probes,
     }
