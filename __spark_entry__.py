@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": Q.q_approx_distinct_users,
         "interval_union": Q.q_interval_union,
         "pivot_order_status": Q.q_pivot_order_status,
+        "small_quantity_revenue": Q.q_small_quantity_revenue,
         # training-data pipeline operators
         "dedup_exact": M.q_dedup_exact,
         "minhash_signatures": M.q_minhash_signatures,
@@ -108,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
         "collect_statuses": Q.SQL_COLLECT_STATUSES,
         "interval_union": Q.SQL_INTERVAL_UNION,
         "pivot_order_status": Q.SQL_PIVOT_ORDER_STATUS,
+        "small_quantity_revenue": Q.SQL_SMALL_QUANTITY_REVENUE,
         "dedup_exact": M.SQL_DEDUP_EXACT,
         "minhash_signatures": M.SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": M.SQL_MINHASH_LSH_PAIRS,

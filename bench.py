@@ -216,7 +216,7 @@ def run_scaling(corpus: str) -> dict:
     # efficiency ratio in either direction. The wide run is informational
     # (single trial). A single-thread probe is recorded around each run.
     lo, hi = SCALE_CORES[0], SCALE_CORES[1]
-    order = [lo, hi, lo, hi] + list(SCALE_CORES[2:])
+    order = [lo, hi, lo, hi, lo, hi] + list(SCALE_CORES[2:])
     runs: dict = {}
     trials: dict = {lo: [], hi: []}
     norm_trials: dict = {lo: [], hi: []}

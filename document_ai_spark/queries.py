@@ -731,3 +731,34 @@ SELECT o_orderpriority,
            AS n_p
 FROM orders GROUP BY o_orderpriority
 """
+
+# --------------------------------------------------------------------------
+# Correlated-subquery shape (TPC-H Q17 style): lineitems below half their
+# part's average quantity. The DataFrame side decorrelates explicitly
+# (per-part aggregate + join); the oracle uses the correlated form.
+# --------------------------------------------------------------------------
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        .alias("avg_qty")
+    )
+    j = l.join(per_part, l.l_partkey == per_part.pk).filter(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    )
+    return j.agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price,
+       COUNT(*) AS n_items
+FROM lineitem l
+WHERE l_quantity < 0.5 * (
+    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM lineitem WHERE l_partkey = l.l_partkey)
+"""
