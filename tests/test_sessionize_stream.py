@@ -1,0 +1,95 @@
+"""Stateful streaming sessionization (applyInPandasWithState): state
+carries open sessions across micro-batches; a gap closes and emits."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+from document_ai_spark.streaming.sessionize import (
+    SESSION_GAP_US,
+    stream_sessionize,
+)
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+T0 = 1_700_000_000_000_000  # us
+
+
+def _write_batch(dirname: str, name: str, rows: list[tuple[int, int]]):
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts_us": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(dirname, name),
+    )
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_sessionize_across_microbatches(spark, tmp_path):
+    in_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    # batch 1: u1 two events 10 min apart (one open session); u2 one event
+    _write_batch(in_dir, "b1.parquet", [
+        (1, T0),
+        (1, T0 + 600 * 1_000_000),
+        (2, T0),
+    ])
+
+    out_dir = str(tmp_path / "sessions")
+
+    def run_once():
+        events = (
+            spark.readStream.schema(EV_SCHEMA).format("parquet").load(in_dir)
+        )
+
+        def sink(batch_df, _batch_id):
+            # no count() first — that would re-execute the stateful operator
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream_sessionize(events)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not drain in time"
+        q.stop()
+
+    def closed():
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:
+            return []
+
+    run_once()
+    # nothing closed yet — both sessions still open in state
+    assert closed() == []
+
+    # batch 2: u1 event far beyond the gap -> closes the first session
+    _write_batch(in_dir, "b2.parquet", [
+        (1, T0 + 600 * 1_000_000 + SESSION_GAP_US + 1_000_000),
+    ])
+    run_once()
+    rows = [r for r in closed() if r.closed_by == "gap"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.user_id == 1
+    assert r.session_start_us == T0
+    assert r.session_end_us == T0 + 600 * 1_000_000
+    assert r.n_events == 2
