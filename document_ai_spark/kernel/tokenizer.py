@@ -93,7 +93,11 @@ def tokenize_blocks(text: str) -> list[Block]:
     cur_tag = "body"               # tag attributed to the block being built
 
     def flush() -> None:
-        nonlocal frags, link_frags
+        nonlocal frags, link_frags, anchor_depth
+        # Anchor state never crosses a block boundary: an unclosed <a>
+        # otherwise marks every later block as pure link text and the
+        # classifier rejects the whole document.
+        anchor_depth = 0
         if not frags:  # hot path: most block boundaries have no text
             link_frags = []
             return
@@ -137,6 +141,10 @@ def tokenize_blocks(text: str) -> list[Block]:
         pos = m.end()
 
         close_name, open_name, _attrs, self_close = m.group(1, 2, 3, 4)
+        # the greedy attrs group swallows the "/" of "<a/>": a trailing
+        # slash in attrs is the self-close marker
+        if open_name is not None and not self_close and _attrs.endswith("/"):
+            self_close = "/"
 
         if open_name is not None:
             name = open_name.lower()
@@ -147,7 +155,8 @@ def tokenize_blocks(text: str) -> list[Block]:
                 pos = cm.end() if cm else n
                 continue
             if name == "a":
-                anchor_depth += 1
+                if not self_close:  # <a/> opens nothing
+                    anchor_depth += 1
                 continue
             if name in _BLOCK_TAGS:
                 flush()

@@ -76,9 +76,13 @@ def compact_table(
         raise RuntimeError(
             f"compaction row mismatch: {staged_rows} != {n_rows}; aborted"
         )
+    # COPY (not move) lineage into stage: a crash between this point and the
+    # stage->table rename must leave the original table, lineage included,
+    # untouched — the recovery path above rmtree's a leftover stage dir, so
+    # stage must never hold the only copy of anything.
     lin_src = os.path.join(table_dir, LINEAGE_SUBDIR)
     if os.path.exists(lin_src):
-        shutil.move(lin_src, os.path.join(stage, LINEAGE_SUBDIR))
+        shutil.copytree(lin_src, os.path.join(stage, LINEAGE_SUBDIR))
     os.rename(table_dir, bak)
     os.rename(stage, table_dir)
     shutil.rmtree(bak)

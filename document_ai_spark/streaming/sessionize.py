@@ -68,7 +68,11 @@ def _sessionize_group(
                 rows.append((user_id, start, last, n, "gap"))
                 start, last, n = t, t, 1
             else:
-                last = t
+                # events are sorted within a micro-batch but may arrive
+                # out-of-order ACROSS batches: an in-gap straggler must
+                # only widen the open session, never regress its bounds
+                start = min(start, t)
+                last = max(last, t)
                 n += 1
         if start is not None:
             state.update((start, last, n))

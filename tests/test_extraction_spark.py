@@ -363,3 +363,28 @@ def test_validate_cli_exit_code_on_mismatch(spark, corpus_dir, tmp_path):
          os.path.join(corpus_dir, "golden_text.parquet")]
     )
     assert rc_ok == 0
+
+
+def test_compaction_crash_before_swap_keeps_lineage(spark, corpus_dir,
+                                                    tmp_path):
+    """Crash window: stage fully written (lineage already copied in) but the
+    table->bak rename never happened. The next compact run rmtree's the
+    leftover stage — the table, lineage included, must be intact."""
+    import shutil
+
+    from document_ai_spark.operators.compact import compact_table
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    out = str(tmp_path / "crashy")
+    run_extraction_job(pages, out, n_shards=4, shards_per_commit=4,
+                       run_id="crashy", num_partitions=4)
+    lin_dir = os.path.join(out, "_lineage")
+    lin_before = spark.read.parquet(lin_dir).count()
+    assert lin_before >= 4
+    # simulate the crash: a stale stage holding a lineage copy
+    stage = out + "._compact_stage"
+    os.makedirs(stage)
+    shutil.copytree(lin_dir, os.path.join(stage, "_lineage"))
+    stats = compact_table(spark, out)
+    assert stats["rows"] == spark.read.parquet(out).count()
+    assert spark.read.parquet(lin_dir).count() == lin_before

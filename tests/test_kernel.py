@@ -217,3 +217,19 @@ def test_decode_utf16_bom():
     res = extract_document(raw)
     # utf-16 has no %PDF magic and decodes through the BOM branch
     assert res.parse_ok
+
+
+def test_tokenize_self_closing_anchor_not_link_text():
+    # <a/> opens nothing: following text must not count as link text
+    blocks = tokenize_blocks(f"<p><a/>{LONG}</p>")
+    assert blocks[0].link_text_len == 0
+
+
+def test_tokenize_unclosed_anchor_resets_at_block_boundary():
+    # an unclosed <a> must not mark every later block as pure link text
+    blocks = tokenize_blocks(f"<p><a href='x'>here</p><p>{LONG}</p>")
+    assert blocks[0].link_text_len == len("here")
+    assert blocks[1].link_text_len == 0
+    res = extract_document(f"<p><a href='x'>nav</a></p><div><a>{LONG}</div>"
+                           f"<p>{LONG} {LONG}</p>".encode())
+    assert LONG in res.main_text  # later blocks survive the unclosed <a>

@@ -93,3 +93,45 @@ def test_sessionize_across_microbatches(spark, tmp_path):
     assert r.session_start_us == T0
     assert r.session_end_us == T0 + 600 * 1_000_000
     assert r.n_events == 2
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the group function."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+
+def test_sessionize_out_of_order_across_batches():
+    # an in-gap straggler older than the stored last-seen (or even the
+    # stored start) must widen the open session, never regress it
+    import pandas as pd
+
+    from document_ai_spark.streaming.sessionize import _sessionize_group
+
+    st = _FakeState()
+    b1 = pd.DataFrame({"ts_us": [T0 + 100_000_000, T0 + 200_000_000]})
+    list(_sessionize_group((1,), iter([b1]), st))
+    assert st.get == (T0 + 100_000_000, T0 + 200_000_000, 2)
+    # batch 2 arrives out of order: one event before start, one mid-session
+    b2 = pd.DataFrame({"ts_us": [T0, T0 + 150_000_000]})
+    list(_sessionize_group((1,), iter([b2]), st))
+    start, last, n = st.get
+    assert start == T0            # widened backward
+    assert last == T0 + 200_000_000  # NOT regressed
+    assert n == 4
