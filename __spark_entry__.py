@@ -121,6 +121,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": M.SQL_TOKEN_COUNT,
         "fingerprint": M.SQL_FINGERPRINT,
         "next_word_after_key": M.SQL_NEXT_WORD_AFTER_KEY,
+        "winnow_fingerprint": M.SQL_WINNOW_FINGERPRINT,
+        "simhash": M.SQL_SIMHASH,
         # simhash / ann_lsh_buckets / ann_ivf_topk / dedup_clusters:
         # intentionally no oracle (bit-level ops, KMeans, iterative CC)
     }

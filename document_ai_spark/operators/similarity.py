@@ -20,6 +20,9 @@ from pyspark.sql import functions as F
 
 N_LISTS = 16
 N_PROBE = 6
+# the coarse quantizer is fit on a driver-bounded sample: at 10^12 vectors
+# KMeans must never scan the full table — only transform() does
+N_FIT_SAMPLE = 4096
 
 
 def _with_double_vec(e: DataFrame, col: str = "embedding") -> DataFrame:
@@ -44,7 +47,13 @@ def build_ivf_index(embeddings: DataFrame, n_lists: int = N_LISTS,
     vec = _with_double_vec(embeddings)
     km = KMeans(k=n_lists, seed=seed, featuresCol="_vec",
                 predictionCol="list_id")
-    model = km.fit(vec)
+    # bounded sample fit: one metadata-cheap count to size the fraction,
+    # then sample+limit caps what the quantizer ever sees; the full table
+    # is only ever transform()ed (single map pass, no iteration)
+    n = vec.count()
+    frac = min(1.0, 1.2 * N_FIT_SAMPLE / max(n, 1))
+    fit_df = vec.select("_vec").sample(False, frac, seed).limit(N_FIT_SAMPLE)
+    model = km.fit(fit_df)
     assigned = model.transform(vec)
     return model, assigned
 

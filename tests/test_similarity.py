@@ -54,3 +54,103 @@ def test_dedup_clusters_keeper_policy(spark):
     assert not rows[9].is_keeper and rows[9].cluster_id == 5
     assert not rows[7].is_keeper and rows[7].cluster_id == 5
     assert rows[100].is_keeper and not rows[101].is_keeper
+
+
+def test_winnow_numpy_matches_pure_python_spec():
+    """The vectorized winnowing kernel must equal a direct transcription of
+    the spec (per-char Horner hash + per-window argmin with (value, pos)
+    tie-break, each selected position recorded once)."""
+    from document_ai_spark.queries_ml import (
+        _KGRAM,
+        _RK_BASE,
+        _RK_MOD,
+        _WINDOW,
+        _winnow_np,
+    )
+
+    def spec(s: str) -> list[tuple[int, int]]:
+        n = len(s)
+        if n < _KGRAM:
+            return []
+        hashes = []
+        for i in range(n - _KGRAM + 1):
+            h = 0
+            for ch in s[i : i + _KGRAM]:
+                h = (h * _RK_BASE + ord(ch)) % _RK_MOD
+            hashes.append(h)
+        out, last = [], -1
+        for w in range(len(hashes) - _WINDOW + 1):
+            m = min(range(_WINDOW),
+                    key=lambda j: (hashes[w + j], j)) + w
+            if m != last:
+                out.append((m, hashes[m]))
+                last = m
+        return out
+
+    texts = [
+        "",
+        "short",
+        "exactly8",
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaaaaaaaaa",       # degenerate: all-equal hashes
+        "abcabcabcabcabcabcabcabc",      # periodic
+        "unicode é中文 mixed codepoints here",
+    ]
+    for t in texts:
+        pos, fp = _winnow_np(t)
+        assert list(zip(pos.tolist(), fp.tolist())) == spec(t), t
+
+
+def test_embedding_near_dups_non_vacuous(spark):
+    """The near-dup gate must check real pairs: at the shipped threshold the
+    driver tables yield a non-empty, label-blocked pair set."""
+    from document_ai_spark.queries_ml import q_embedding_near_dups
+
+    rows = q_embedding_near_dups(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    assert all(r.cosine > 0.35 and r.id_a < r.id_b for r in rows)
+
+
+def test_simhash_columnar_matches_per_token_spec(spark):
+    """The columnar SimHash (explode + nibble votes) must equal the direct
+    per-token md5 spec on the driver fixture corpus."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from document_ai_spark.queries_ml import q_simhash
+
+    def spec(text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in (text or "").split():
+            h = np.uint64(int.from_bytes(
+                hashlib.md5(tok.encode()).digest()[:8], "big"))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == np.uint64(1), 1, -1)
+        sh = int(((acc > 0).astype(np.uint64)
+                  << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+        return sh - (1 << 64) if sh >= (1 << 63) else sh
+
+    docs = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    ).df()
+    expected = {int(r.doc_id): spec(r.text) for r in docs.itertuples()}
+    got = {
+        r.doc_id: r.simhash
+        for r in q_simhash(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == expected
+
+
+def test_ivf_quantizer_fit_is_sample_bounded(spark, monkeypatch):
+    """The KMeans coarse quantizer must train on a bounded sample, never the
+    full vector table (clusterSizes sums to the fit input rows)."""
+    from document_ai_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")  # 500 vectors
+    monkeypatch.setattr(S, "N_FIT_SAMPLE", 64)
+    model, assigned = S.build_ivf_index(emb, n_lists=8)
+    assert sum(model.summary.clusterSizes) <= 64
+    assert assigned.count() == emb.count()  # full table still assigned

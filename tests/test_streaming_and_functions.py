@@ -110,13 +110,17 @@ def test_lang_id_discriminates_real_text(spark):
 
 
 def test_winnow_fingerprint_properties(spark):
-    from document_ai_spark.queries_ml import _winnow_one
+    from document_ai_spark.queries_ml import _winnow_np
 
-    a = _winnow_one("the quick brown fox jumps over the lazy dog")
-    b = _winnow_one("the quick brown fox jumps over the lazy dog")
+    def fps(s):
+        pos, fp = _winnow_np(s)
+        return fp.tolist()
+
+    a = fps("the quick brown fox jumps over the lazy dog")
+    b = fps("the quick brown fox jumps over the lazy dog")
     assert a and a == b  # deterministic
     # local change only perturbs nearby fingerprints (winnowing locality)
-    c = _winnow_one("the quick brown fox jumps over the hazy dog")
+    c = fps("the quick brown fox jumps over the hazy dog")
     overlap = len(set(a) & set(c)) / len(set(a))
     assert overlap > 0.4
-    assert _winnow_one("short") == []
+    assert fps("short") == []
