@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from document_ai_spark import queries as Q  # noqa: E402
 from document_ai_spark import queries_ml as M  # noqa: E402
 from document_ai_spark import queries_pipeline as P  # noqa: E402
+from document_ai_spark import queries_spatial as SP  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -76,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": M.q_token_count,
         "fingerprint": M.q_fingerprint,
         "next_word_after_key": M.q_next_word_after_key,
+        "next_right_word_2d": SP.q_next_right_word_2d,
+        "fuzzy_key_next_right": SP.q_fuzzy_key_next_right,
         "winnow_fingerprint": M.q_winnow_fingerprint,
         "media_features": M.q_media_features,
     }
@@ -123,6 +126,8 @@ def oracle_sql() -> dict[str, str]:
         "next_word_after_key": M.SQL_NEXT_WORD_AFTER_KEY,
         "winnow_fingerprint": M.SQL_WINNOW_FINGERPRINT,
         "simhash": M.SQL_SIMHASH,
+        "next_right_word_2d": SP.SQL_NEXT_RIGHT_WORD_2D,
+        "fuzzy_key_next_right": SP.SQL_FUZZY_KEY_NEXT_RIGHT,
         # simhash / ann_lsh_buckets / ann_ivf_topk / dedup_clusters:
         # intentionally no oracle (bit-level ops, KMeans, iterative CC)
     }
