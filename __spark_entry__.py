@@ -22,6 +22,7 @@ from document_ai_spark import queries as Q  # noqa: E402
 from document_ai_spark import queries_ml as M  # noqa: E402
 from document_ai_spark import queries_pipeline as P  # noqa: E402
 from document_ai_spark import queries_spatial as SP  # noqa: E402
+from document_ai_spark import queries_tuning as TU  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -80,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_right_word_2d": SP.q_next_right_word_2d,
         "fuzzy_key_next_right": SP.q_fuzzy_key_next_right,
         "winnow_fingerprint": M.q_winnow_fingerprint,
+        "best_config_per_metric": TU.q_best_config_per_metric,
         "media_features": M.q_media_features,
     }
 
@@ -128,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": M.SQL_SIMHASH,
         "next_right_word_2d": SP.SQL_NEXT_RIGHT_WORD_2D,
         "fuzzy_key_next_right": SP.SQL_FUZZY_KEY_NEXT_RIGHT,
+        "best_config_per_metric": TU.SQL_BEST_CONFIG_PER_METRIC,
         # simhash / ann_lsh_buckets / ann_ivf_topk / dedup_clusters:
         # intentionally no oracle (bit-level ops, KMeans, iterative CC)
     }

@@ -6,12 +6,13 @@ Parts, one JSON line on stdout:
   2. North-rule scaling evidence: the SAME extraction job (spark-submit
      --py-files, fresh JVM per run) over an identical deterministic pages
      corpus at N and 4N cores (default local[2] vs local[8]), plus an
-     auxiliary wide run (local[32]) and a RAW PYTHON MULTIPROCESSING CONTROL
-     that measures this VM's effective-core ceiling. On this sandbox the
-     hardware itself stops scaling past ~14-16 effective cores (the MP
-     control shows it with zero Spark involvement), so the honest N->4N
-     efficiency claim is made on 2->8 cores and the wide run is judged
-     against the MP control, not against a perfect 4x.
+     auxiliary wide run (local[32]) and a RAW PYTHON MULTIPROCESSING
+     CONTROL run at every measured width, which measures this VM's
+     effective-core ceiling with zero Spark involvement. The honest N->4N
+     efficiency claim is made on the 2->8 pair; the wide run is judged
+     against the measured MP control, not against a perfect linear
+     speedup. The headline efficiency is the MEDIAN of the interleaved
+     pairwise ratios (no best-case selection).
   Results also written to BENCH/BASELINE.md.
 """
 
@@ -233,12 +234,16 @@ def run_scaling(corpus: str) -> dict:
             norm_trials[cores].append(r["docs_per_sec"] / probe)
         if cores not in runs or r["docs_per_sec"] > runs[cores]["docs_per_sec"]:
             runs[cores] = r
-    # Efficiency from ADJACENT-IN-TIME (lo, hi) pairs, best pair wins:
-    # host speed drifts between runs, so pairing adjacent trials cancels
-    # the drift; best-of-each-width could mix a fast lo window with a slow
-    # hi window (or vice versa) and skew the ratio either way. A second,
-    # probe-normalized estimate divides each run's throughput by the
-    # single-thread probe taken just before it (auditable in the JSON).
+    # Efficiency from ADJACENT-IN-TIME (lo, hi) pairs: host speed drifts
+    # between runs, so pairing adjacent trials cancels the drift;
+    # best-of-each-width could mix a fast lo window with a slow hi window
+    # (or vice versa) and skew the ratio either way. The HEADLINE is the
+    # MEDIAN of the pairwise efficiencies (a max would be best-case
+    # selection bias); the per-pair list stays in the JSON as the
+    # auditable detail. A second, probe-normalized estimate divides each
+    # run's throughput by the single-thread probe taken just before it.
+    from statistics import median
+
     pair_effs = [
         (h / l) / (hi / lo)
         for l, h in zip(trials[lo], trials[hi])
@@ -249,7 +254,7 @@ def run_scaling(corpus: str) -> dict:
         for l, h in zip(norm_trials[lo], norm_trials[hi])
         if l > 0
     ]
-    eff_pairwise = max(pair_effs) if pair_effs else 0.0
+    eff_pairwise = median(pair_effs) if pair_effs else 0.0
 
     res = {
         "n_docs": runs[lo]["docs_total"],
@@ -257,7 +262,7 @@ def run_scaling(corpus: str) -> dict:
         "scaling_pair": f"local[{lo}] -> local[{hi}]",
         "scaling_efficiency": round(eff_pairwise, 3),
         "scaling_efficiency_probe_normalized": round(
-            max(norm_pair_effs) if norm_pair_effs else 0.0, 3
+            median(norm_pair_effs) if norm_pair_effs else 0.0, 3
         ),
         "pairwise_efficiencies": [round(e, 3) for e in pair_effs],
         "pairwise_efficiencies_probe_normalized": [
@@ -291,9 +296,8 @@ def write_baseline_md(scaling: dict, mp: dict, queries: dict,
         "Same job (spark-submit --py-files, fresh JVM per run), identical "
         f"deterministic corpus of {scaling['n_docs']} pages "
         f"({scaling['html_mb']} MB raw html): read pages parquet -> salted "
-        "repartition by url-hash -> Arrow-batched mapInPandas extraction "
-        "kernel -> dynamic-partition-overwrite parquet write + lineage "
-        "commit.",
+        "repartition by url-hash -> mapInArrow extraction kernel -> "
+        "dynamic-partition-overwrite parquet write + lineage commit.",
         "",
         "| cores | docs/s | MB/s | wall (s) |",
         "|---|---|---|---|",
@@ -329,13 +333,20 @@ def write_baseline_md(scaling: dict, mp: dict, queries: dict,
     for k, v in mp.items():
         procs = k.split("@")[1].rstrip("p")
         lines.append(f"| {procs} | {v} |")
+    mp_lo = mp.get(f"mp_docs_per_sec@{SCALE_CORES[0]}p")
+    mp_wide = mp.get(f"mp_docs_per_sec@{max(SCALE_CORES)}p")
+    mp_eff = (
+        round((mp_wide / mp_lo) / (max(SCALE_CORES) / SCALE_CORES[0]), 3)
+        if mp_lo and mp_wide else None
+    )
     lines += [
         "",
-        "This sandbox VM stops scaling near ~14-16 effective cores even "
-        "with plain multiprocessing (no JVM, no shuffle, no Arrow) — the "
-        "wide run is therefore judged against this control, not against "
-        "an ideal 4x. The engine's own N->4N efficiency is measured on "
-        "the pinned (taskset) 2->8 pair where the hardware is not the "
+        f"Plain multiprocessing (no JVM, no shuffle, no Arrow) itself "
+        f"scales at {mp_eff} efficiency from {SCALE_CORES[0]} to "
+        f"{max(SCALE_CORES)} procs on this VM — the wide Spark run is "
+        "judged against this measured control, not against an ideal "
+        "linear speedup. The engine's own N->4N efficiency is measured "
+        "on the pinned (taskset) 2->8 pair where the hardware is not the "
         "limiter; each scaling run pins the whole JVM+python tree to "
         "exactly N cores.",
         "",
@@ -374,7 +385,9 @@ def main() -> int:
     scaling = run_scaling(corpus)
     print(f"[bench] scaling done +{time.time()-t_start:.0f}s",
           file=sys.stderr)
-    mp = mp_control(corpus, tuple(SCALE_CORES[:2]))
+    # run the no-Spark control at EVERY measured width (including the wide
+    # one) so the hardware-ceiling claim is measured, not asserted
+    mp = mp_control(corpus, tuple(sorted(set(SCALE_CORES))))
     print(f"[bench] mp control done +{time.time()-t_start:.0f}s",
           file=sys.stderr)
     total = round(sum(q_times.values()), 2)

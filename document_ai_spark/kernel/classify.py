@@ -17,21 +17,39 @@ Frozen rules (changing any constant invalidates every golden fixture):
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from .tokenizer import Block
 
 W_MIN = 10          # R1 word threshold
 LD_NUM, LD_DEN = 1, 3  # link-density threshold = LD_NUM/LD_DEN
 
 
-def _low_link(b: Block) -> bool:
-    return LD_DEN * b.link_text_len <= LD_NUM * b.text_len  # 3*lt <= t
+@dataclass(frozen=True)
+class ClassifierConfig:
+    """Tunable thresholds for the sweep harness (operators/tuning.py).
+    The default instance IS the frozen policy — extraction behavior is
+    unchanged unless a sweep explicitly passes another config."""
+
+    w_min: int = W_MIN
+    ld_num: int = LD_NUM
+    ld_den: int = LD_DEN
 
 
-def classify_blocks(blocks: list[Block]) -> list[bool]:
+_FROZEN = ClassifierConfig()
+
+
+def _low_link(b: Block, cfg: ClassifierConfig) -> bool:
+    return cfg.ld_den * b.link_text_len <= cfg.ld_num * b.text_len
+
+
+def classify_blocks(
+    blocks: list[Block], cfg: ClassifierConfig = _FROZEN
+) -> list[bool]:
     """Return is_content per block (same order)."""
     n = len(blocks)
     dense = [
-        (b.n_words >= W_MIN) and _low_link(b) and not b.in_chrome
+        (b.n_words >= cfg.w_min) and _low_link(b, cfg) and not b.in_chrome
         and not b.is_heading
         for b in blocks
     ]
@@ -43,7 +61,7 @@ def classify_blocks(blocks: list[Block]) -> list[bool]:
         if (
             b.is_heading
             and not b.in_chrome
-            and _low_link(b)
+            and _low_link(b, cfg)
             and i + 1 < n
             and accepted[i + 1]
         ):
@@ -53,7 +71,7 @@ def classify_blocks(blocks: list[Block]) -> list[bool]:
     for i, b in enumerate(blocks):
         if (
             not out[i]
-            and b.n_words < W_MIN
+            and b.n_words < cfg.w_min
             and b.link_text_len == 0
             and not b.in_chrome
             and not b.is_heading

@@ -62,3 +62,25 @@ def test_audio_features(spark):
     assert rows["aud1"].decode_ok
     assert rows["aud1"].n_samples == 250 * 16
     assert 0.0 <= rows["aud1"].rms <= 1.0
+
+
+def test_image_features_hand_computed_goldens(spark):
+    """The stub decoder is deterministic, so the feature math has exact
+    hand-derivable answers:
+    - constant payload byte v -> plane all v: mean_luma == v, and since
+      every 8x8 cell equals the global mean, no bit exceeds it -> phash 0
+    - payload bytes 0..63 tiled to 8x8 -> plane[y][x] = 8y+x:
+      mean = 31.5; cells are single pixels; bits set exactly for y >= 4,
+      i.e. bit indices 32..63 -> value 2^64 - 2^32 -> signed -2^32."""
+    rows = [
+        ("const", "image", bytes([7]) * 64, "image/x-fake",
+         {"width": 8, "height": 8, "duration_ms": None}),
+        ("ramp", "image", bytes(range(64)), "image/x-fake",
+         {"width": 8, "height": 8, "duration_ms": None}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in image_features(media).collect()}
+    c = got["const"]
+    assert (c.mean_luma, c.phash, c.decode_ok) == (7.0, 0, True)
+    r = got["ramp"]
+    assert (r.mean_luma, r.phash, r.decode_ok) == (31.5, -(1 << 32), True)
