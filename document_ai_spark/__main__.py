@@ -54,14 +54,22 @@ def cmd_extract(args) -> int:
     # on all cores before the measured window — on a real cluster these
     # one-time costs amortize over hours; a benchmark run must not count
     # them as per-document work.
-    warm = spark.range(256).select(
-        F2.col("id").cast("string").alias("url"),
-        F2.lit(None).cast("timestamp").alias("warc_ts"),
-        F2.encode(F2.lit("<p>warm up page body</p>"), "UTF-8").alias("html"),
-    )
     with tempfile.TemporaryDirectory() as td:
-        extract_pages(warm, salted=False).write.mode("overwrite").parquet(
-            f"{td}/warm"
+        # warm the exact production path on a SLICE OF THE REAL INPUT:
+        # vectorized parquet scan of the actual files -> mapInArrow workers
+        # on all cores -> dynamic partition overwrite committer. Synthetic
+        # warm rows JIT the wrong specializations (constant strings,
+        # dictionary-encoded columns); a real slice triggers C2 on the hot
+        # loops the measured window will actually run.
+        from document_ai_spark.sources.io import read_pages as _rp
+
+        warm = _rp(spark, args.input).limit(4096)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            extract_pages(warm, salted=False)
+            .withColumn("shard_id", F2.lit(0))
+            .write.mode("overwrite").partitionBy("shard_id")
+            .parquet(f"{td}/warm_out")
         )
     t0 = time.time()
     print(f"[extract] session+warmup in {t0 - t_boot:.1f}s", file=sys.stderr)

@@ -168,18 +168,72 @@ def size_aware_partitions(pages: DataFrame) -> int:
     return max(4 * parallelism, by_size)
 
 
+def splits_bound_skew(pages: DataFrame) -> bool:
+    """True when the input's parquet row-group structure already bounds
+    per-task raw bytes, so byte-proportional compute skew is handled by
+    finer scan splits and the salt shuffle of the raw html is unnecessary.
+
+    Measured on this corpus shape the salt shuffle costs ~1.6x end-to-end
+    (BENCH/BASELINE.md): shuffling the full html payload and re-feeding
+    Arrow from shuffled rows dwarfs the skew it defuses whenever row groups
+    are small. Conditions (checked from local parquet footers; on a cluster
+    the same numbers come from the table manifest):
+      - every row group's uncompressed size <= TARGET_PARTITION_BYTES
+        (no row group can force an oversized task), and
+      - there are >= 2x parallelism row groups (enough task granularity
+        for the scheduler to smooth stragglers).
+    Unknown layouts (no local footers, e.g. Iceberg/remote) return False —
+    the conservative path keeps the salt shuffle.
+    """
+    from urllib.parse import urlparse
+
+    try:
+        import pyarrow.parquet as pq
+
+        files = pages.inputFiles()
+        if not files:
+            return False
+        n_rg = 0
+        max_rg = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("file", ""):
+                return False
+            md = pq.ParquetFile(p.path).metadata
+            n_rg += md.num_row_groups
+            for i in range(md.num_row_groups):
+                max_rg = max(max_rg, md.row_group(i).total_byte_size)
+    except Exception:
+        return False
+    parallelism = pages.sparkSession.sparkContext.defaultParallelism
+    return max_rg <= TARGET_PARTITION_BYTES and n_rg >= 2 * parallelism
+
+
 def extract_pages(
     pages: DataFrame,
     num_partitions: int | None = None,
-    salted: bool = True,
+    salted: bool | str = "auto",
 ) -> DataFrame:
     """pages(url, warc_ts, html, ...) -> extracted DataFrame.
 
-    ``salted=True`` repartitions by url-hash to defuse giant-page compute
-    skew; pass ``salted=False`` when the input partitioning is already
-    uniform and the extra shuffle is not worth it (e.g. freshly generated
-    evenly-sized input).
+    ``salted`` repartitions by url-hash to defuse giant-page compute skew:
+      - "auto" (default): salt only when the scan's row-group structure
+        cannot bound per-task bytes (splits_bound_skew) — skipping the
+        full-payload shuffle is worth ~1.6x when splits already do the job;
+      - True/False force either path (True for pathological layouts or
+        when the output must cluster by url-hash; False for freshly
+        generated evenly-sized input).
     """
+    if salted == "auto":
+        salted = not splits_bound_skew(pages)
+        if not salted:
+            # cap scan split size so FilePartition packing cannot merge
+            # small row groups back into oversized tasks: disk bytes *
+            # compression ~= raw html per task <= TARGET_PARTITION_BYTES
+            pages.sparkSession.conf.set(
+                "spark.sql.files.maxPartitionBytes",
+                str(TARGET_PARTITION_BYTES // PARQUET_COMPRESSION_FACTOR),
+            )
     cols = pages.select("url", "warc_ts", "html")  # prune before Arrow
     if salted:
         # size-aware salt count: >=4x overpartitioning (giant pages are

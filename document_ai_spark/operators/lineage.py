@@ -50,6 +50,47 @@ def done_shards(spark: SparkSession, out_dir: str) -> set[int]:
     return {r.shard_id for r in rows}
 
 
+def _append_lineage_rows(spark, rows, schema, path: str) -> None:
+    """Append a handful of lineage rows. Parquet layout: one uniquely-named
+    file written directly from the driver (atomic visibility via the same
+    write-then-visible file semantics the FileOutputCommitter gives) — a
+    full Spark job for <=shards_per_commit rows costs ~2 s of scheduler
+    overhead per commit for no benefit. Iceberg targets (no '/') still go
+    through the snapshot-append path."""
+    if "/" not in path:
+        append_rows(spark.createDataFrame(rows, schema=schema), path)
+        return
+    import os
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    cols = {f.name: [getattr(r, f.name) for r in rows] for f in schema}
+    tbl = pa.table(
+        {
+            "run_id": pa.array(cols["run_id"], pa.string()),
+            "shard_id": pa.array(cols["shard_id"], pa.int32()),
+            "docs": pa.array(cols["docs"], pa.int64()),
+            "bytes": pa.array(cols["bytes"], pa.int64()),
+            "parse_failures": pa.array(cols["parse_failures"], pa.int64()),
+            "started_ts": pa.array(
+                cols["started_ts"], pa.timestamp("us")
+            ),
+            "finished_ts": pa.array(
+                cols["finished_ts"], pa.timestamp("us")
+            ),
+            "status": pa.array(cols["status"], pa.string()),
+        }
+    )
+    tmp = os.path.join(path, f".{_uuid.uuid4().hex}.tmp")
+    pq.write_table(tbl, tmp)
+    os.rename(tmp, os.path.join(
+        path, f"part-{_uuid.uuid4().hex}.parquet"
+    ))
+
+
 def run_extraction_job(
     pages: DataFrame,
     out_dir: str,
@@ -120,10 +161,8 @@ def run_extraction_job(
         )
         lin_rows = lin.collect()  # tiny (one row per shard in the chunk)
         _mark(f"chunk {chunk} lineage agg", _t_run)
-        append_rows(
-            spark.createDataFrame(lin_rows, schema=lin.schema),
-            _lineage_path(out_dir),
-        )
+        _append_lineage_rows(spark, lin_rows, lin.schema,
+                             _lineage_path(out_dir))
         total["chunks"] += 1
         total["docs"] += sum(r.docs for r in lin_rows)
         _mark(f"chunk {chunk} lineage appended", _t_run)

@@ -16,9 +16,15 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Cap Arrow batch rows: html averages ~1-10 KB but giants reach MBs; 256 rows
-# bounds a batch to low tens of MB worst-case.
-ARROW_MAX_RECORDS = 256
+# Cap Arrow batch rows: html averages ~1-10 KB but giants reach MBs; the cap
+# bounds a batch's memory worst-case. Overridable per-run for measurement
+# (SPARK_GRAFT_ARROW_BATCH); see BENCH/BASELINE.md for the measured sweep.
+ARROW_MAX_RECORDS = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256"))
+# 64-bit Arrow offsets for the binary html column: avoids 2 GiB chunk
+# overflow handling on wide batches of giant pages
+ARROW_LARGE_VARTYPES = os.environ.get(
+    "SPARK_GRAFT_LARGE_VARTYPES", "true"
+)
 
 
 def get_spark(
@@ -58,6 +64,10 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_MAX_RECORDS),
+        )
+        .config(
+            "spark.sql.execution.arrow.useLargeVarTypes",
+            ARROW_LARGE_VARTYPES,
         )
         # large `html` binaries overflow the vectorized parquet reader's
         # contiguous column buffer at the default 4096 rows/batch

@@ -198,22 +198,22 @@ def test_crash_between_data_and_lineage_commit(spark, corpus_dir, tmp_path,
     pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
     out = str(tmp_path / "crash_out")
 
-    real_append = lineage_mod.append_rows
+    real_append = lineage_mod._append_lineage_rows
     calls = {"n": 0}
 
-    def flaky_append(df, target):
+    def flaky_append(spark_, rows, schema, path):
         calls["n"] += 1
         if calls["n"] == 2:
             raise RuntimeError("simulated crash before lineage commit")
-        real_append(df, target)
+        real_append(spark_, rows, schema, path)
 
-    monkeypatch.setattr(lineage_mod, "append_rows", flaky_append)
+    monkeypatch.setattr(lineage_mod, "_append_lineage_rows", flaky_append)
     with pytest.raises(RuntimeError, match="simulated crash"):
         run_extraction_job(
             pages, out, n_shards=8, shards_per_commit=2, run_id="crash",
             num_partitions=4,
         )
-    monkeypatch.setattr(lineage_mod, "append_rows", real_append)
+    monkeypatch.setattr(lineage_mod, "_append_lineage_rows", real_append)
 
     # chunk 1 committed fully; chunk 2 data may exist but has no lineage
     assert done_shards(spark, out) == {0, 1}
