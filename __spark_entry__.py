@@ -62,6 +62,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_union": Q.q_interval_union,
         "pivot_order_status": Q.q_pivot_order_status,
         "small_quantity_revenue": Q.q_small_quantity_revenue,
+        "session_window_agg": Q.q_session_window_agg,
+        "min_cost_supplier_per_part": Q.q_min_cost_supplier_per_part,
+        "dominant_suppliers": Q.q_dominant_suppliers,
         # training-data pipeline operators
         "dedup_exact": M.q_dedup_exact,
         "minhash_signatures": M.q_minhash_signatures,
@@ -115,6 +118,9 @@ def oracle_sql() -> dict[str, str]:
         "interval_union": Q.SQL_INTERVAL_UNION,
         "pivot_order_status": Q.SQL_PIVOT_ORDER_STATUS,
         "small_quantity_revenue": Q.SQL_SMALL_QUANTITY_REVENUE,
+        "session_window_agg": Q.SQL_SESSION_WINDOW_AGG,
+        "min_cost_supplier_per_part": Q.SQL_MIN_COST_SUPPLIER_PER_PART,
+        "dominant_suppliers": Q.SQL_DOMINANT_SUPPLIERS,
         "dedup_exact": M.SQL_DEDUP_EXACT,
         "minhash_signatures": M.SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": M.SQL_MINHASH_LSH_PAIRS,

@@ -762,3 +762,136 @@ WHERE l_quantity < 0.5 * (
     SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
     FROM lineitem WHERE l_partkey = l.l_partkey)
 """
+
+
+# --------------------------------------------------------------------------
+# Native session_window sessionization (Spark's built-in stateful window in
+# batch mode) cross-checked against the classic gap-island SQL form.
+# Spark semantics: an event extends the open session while ts < last + gap
+# (strictly), so the oracle starts a new session when diff >= gap — note
+# the deliberate difference from q_user_sessions' lag form (diff > gap).
+# --------------------------------------------------------------------------
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        e.groupBy("user_id", sw)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(
+                F.col("session_window.start").cast("timestamp_ltz")
+            ).alias("session_start_us"),
+            F.unix_micros(F.col("last_ts").cast("timestamp_ltz")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )
+
+
+SQL_SESSION_WINDOW_AGG = f"""
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+islands AS (
+  SELECT user_id, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked)
+SELECT user_id, MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us, COUNT(*) AS n_events
+FROM islands GROUP BY user_id, session_no
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2-style correlated min: for each small part, THE cheapest supplier
+# by average extended price (rank on the 6dp-rounded value, deterministic
+# suppkey tie-break — an equality join against the correlated MIN would be
+# float-fragile across engines).
+# --------------------------------------------------------------------------
+
+def q_min_cost_supplier_per_part(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    per_ps = (
+        l.join(F.broadcast(p.select("p_partkey")),
+               l.l_partkey == F.col("p_partkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.round(F.avg("l_extendedprice"), 6).alias("avg_cost"))
+    )
+    w = W.partitionBy("p_partkey").orderBy("avg_cost", "l_suppkey")
+    return (
+        per_ps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", F.col("l_suppkey").alias("s_suppkey"),
+                "avg_cost")
+    )
+
+
+SQL_MIN_COST_SUPPLIER_PER_PART = """
+SELECT p_partkey, l_suppkey AS s_suppkey, avg_cost
+FROM (
+  SELECT p.p_partkey, l.l_suppkey,
+         round(avg(l.l_extendedprice), 6) AS avg_cost
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_size < 10
+  GROUP BY p.p_partkey, l.l_suppkey)
+QUALIFY row_number() OVER (PARTITION BY p_partkey
+                           ORDER BY avg_cost, l_suppkey) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20-style nested-IN: suppliers that shipped more than DOM_SHARE of
+# some part's total quantity (quantities are integral doubles, so the
+# integer-multiplier compare is exact in both engines). 1/5 keeps the
+# result non-vacuous at every SF (supplier fan-out per part grows with
+# scale, so shares shrink; >50% selects nothing beyond sf0.001).
+# --------------------------------------------------------------------------
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    per_ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("ps_qty")
+    )
+    per_p = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("p_qty")
+    )
+    dom = (
+        per_ps.join(per_p, per_ps.l_partkey == per_p.pk)
+        .filter(F.col("ps_qty") * 5 > F.col("p_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dom, s.s_suppkey == dom.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+SQL_DOMINANT_SUPPLIERS = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS ps_qty
+        FROM lineitem GROUP BY l_partkey, l_suppkey) ps
+  JOIN (SELECT l_partkey AS pk, SUM(l_quantity) AS p_qty
+        FROM lineitem GROUP BY l_partkey) p
+    ON ps.l_partkey = p.pk
+  WHERE ps.ps_qty * 5 > p.p_qty)
+"""

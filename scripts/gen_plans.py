@@ -19,7 +19,8 @@ def main() -> int:
 
     from document_ai_spark import queries as Q
     from document_ai_spark import queries_ml as M
-    from document_ai_spark import queries_pipeline as P
+    from document_ai_spark import queries_pipeline as P  # noqa: F401
+    from document_ai_spark import queries_spatial as SP
     from document_ai_spark.datagen import write_corpus
     from document_ai_spark.operators.extraction import extract_pages
     from document_ai_spark.session import get_spark
@@ -51,7 +52,8 @@ def main() -> int:
     td = tempfile.mkdtemp(prefix="plans_corpus_")
     write_corpus(td, n_docs=200, verify=False)
     pages = spark.read.parquet(os.path.join(td, "pages.parquet"))
-    salted_plan = plan(extract_pages(pages))
+    salted_plan = plan(extract_pages(pages, salted=True))
+    unsalted_plan = plan(extract_pages(pages, salted=False))
 
     out = [
         """# PLANS — physical-plan evidence for the flagship queries
@@ -67,9 +69,19 @@ size-aware salt: `pmod(xxhash64(url), n)` with n derived from input bytes —
 64 MB raw html per task, >=4x parallelism) -> a single `MapInArrow` span
 runs the whole kernel. At 100 TB the salt count grows with input size so
 per-task memory stays bounded; the only Python crossing is one
-Arrow-batched stage; no driver-side loop, no collect. (The oracle query
-`extract_article` uses `salted=False` on freshly synthesized uniform input
-— same plan minus the Exchange.)
+Arrow-batched stage; no driver-side loop, no collect.
+""",
+        "## extraction job (auto-unsalted path)\n",
+        "```\n" + unsalted_plan + "\n```\n",
+        """**Scale notes.** The default is `salted=\"auto\"`: when the
+input's row-group structure already bounds per-task raw bytes (every row
+group <= 64 MB uncompressed, >= 2x-parallelism row groups — checked from
+footers locally, from the table manifest on a cluster), the full-payload
+shuffle disappears and the kernel runs directly on the scan — measured
+~1.6x end-to-end on the bench corpus (BENCH/BASELINE.md). Skew stays
+bounded because `files.maxPartitionBytes` is capped so split packing
+cannot rebuild oversized tasks; pathological layouts (one giant row
+group, unknown manifests) keep the salted plan above.
 """,
         "## pricing_summary — pushdown + partial aggregation\n",
         "```\n"
@@ -99,6 +111,26 @@ runtime — nothing in the query changes.
 inlining the split would be O(words^2) per doc). The only shuffles are the
 DISTINCT and the final per-doc aggregation, both on uniformly-distributed
 keys; the 8 minhash aggregates are one partial+final hash-aggregate pass.
+""",
+        "## next_right_word_2d — 2-D spatial nearest join (J2)\n",
+        "```\n" + plan(SP.q_next_right_word_2d(spark, sf)) + "\n```\n",
+        """**Scale notes.** Word boxes are per-document; the key-box and
+candidate joins hash-partition on doc_id (uniform key, bounded per-page
+fan-in), the tiny key list broadcasts, and the argmin is a window
+row_number inside the same doc_id partitioning — two shuffles total
+regardless of corpus size. Locally the small side broadcasts; at 100 TB
+AQE flips the per-doc joins to sort-merge on the same key, plan unchanged.
+The fused in-kernel variant (operators/spatial.py) removes the self-join
+entirely for pipelines already grouped per page.
+""",
+        "## simhash — columnar bit-vote aggregation\n",
+        "```\n" + plan(M.q_simhash(spark, sf),
+                       keep=["ReadSchema"]) + "\n```\n",
+        """**Scale notes.** Tokens explode JVM-side (no Python), md5 and
+nibble extraction are codegen'd expressions, and the 64 bit-votes are one
+partial+final HashAggregate pass on doc_id — the shuffle carries 64 longs
+per document, not per token. The round-1 per-row/per-token Python md5
+loop is gone.
 """,
         "## interval_union — window cumulative-max grouping\n",
         "```\n" + plan(Q.q_interval_union(spark, sf)) + "\n```\n",

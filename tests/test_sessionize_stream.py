@@ -135,3 +135,59 @@ def test_sessionize_out_of_order_across_batches():
     assert start == T0            # widened backward
     assert last == T0 + 200_000_000  # NOT regressed
     assert n == 4
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_streaming_session_window_with_watermark(spark, tmp_path):
+    """The Spark-native alternative to the custom stateful operator:
+    readStream -> withWatermark -> session_window aggregation. Late data
+    beyond the watermark is dropped; sessions emit on watermark advance
+    (append mode)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "swin")
+    os.makedirs(in_dir)
+    base = T0
+
+    def w(name, rows):
+        pq.write_table(
+            pa.table({
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us", tz="UTC")
+                ),
+            }),
+            os.path.join(in_dir, name),
+        )
+
+    # u1: two events 10 min apart (one session), then a 2h-later event
+    # that closes the first session once the watermark passes
+    w("b1.parquet", [(1, base), (1, base + 600 * 1_000_000)])
+    w("b2.parquet", [(1, base + 7200 * 1_000_000)])
+
+    events = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet").load(in_dir)
+    )
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    closed = [(r.user_id, r.n_events) for r in out]
+    # the first session (2 events) must have been emitted and closed by the
+    # watermark advancing past base+40min; the trailing session may remain
+    # open (append mode emits only finalized sessions)
+    assert (1, 2) in closed
