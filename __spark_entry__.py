@@ -4,8 +4,8 @@
 `queries()` maps every implemented operator (SURVEY.md §2 + the
 training-data-pipeline additions) to a (spark, sf_dir) callable;
 `oracle_sql()` gives the DuckDB-equivalent SQL for each (omitted only for
-simhash / ANN-LSH buckets, whose bit math has no cheap SQL twin — the
-driver records a rows-only check for those).
+approx_distinct_users / ann_ivf_topk / media_features, whose sketch/ML
+internals have no SQL twin — the driver records rows-only checks there).
 """
 
 from __future__ import annotations
@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_probe": M.q_ngram_jaccard_probe,
         "ann_cosine_topk": M.q_ann_cosine_topk,
         "embedding_near_dups": M.q_embedding_near_dups,
+        "embedding_near_dups_lsh": M.q_embedding_near_dups_lsh,
         "simhash": M.q_simhash,
         "ann_lsh_buckets": M.q_ann_lsh_buckets,
         "ann_ivf_topk": M.q_ann_ivf_topk,
@@ -80,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": M.q_quality_score,
         "token_count": M.q_token_count,
         "fingerprint": M.q_fingerprint,
+        "top_terms": M.q_top_terms,
         "next_word_after_key": M.q_next_word_after_key,
         "next_right_word_2d": SP.q_next_right_word_2d,
         "fuzzy_key_next_right": SP.q_fuzzy_key_next_right,
@@ -131,12 +133,16 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": M.SQL_QUALITY_SCORE,
         "token_count": M.SQL_TOKEN_COUNT,
         "fingerprint": M.SQL_FINGERPRINT,
+        "top_terms": M.SQL_TOP_TERMS,
         "next_word_after_key": M.SQL_NEXT_WORD_AFTER_KEY,
         "winnow_fingerprint": M.SQL_WINNOW_FINGERPRINT,
         "simhash": M.SQL_SIMHASH,
         "next_right_word_2d": SP.SQL_NEXT_RIGHT_WORD_2D,
         "fuzzy_key_next_right": SP.SQL_FUZZY_KEY_NEXT_RIGHT,
         "best_config_per_metric": TU.SQL_BEST_CONFIG_PER_METRIC,
-        # simhash / ann_lsh_buckets / ann_ivf_topk / dedup_clusters:
-        # intentionally no oracle (bit-level ops, KMeans, iterative CC)
+        "dedup_clusters": M.SQL_DEDUP_CLUSTERS,
+        "ann_lsh_buckets": M.SQL_ANN_LSH_BUCKETS,
+        "embedding_near_dups_lsh": M.SQL_EMBEDDING_NEAR_DUPS_LSH,
+        # approx_distinct_users (HLL sketch), ann_ivf_topk (KMeans),
+        # media_features (stub decoder): intentionally no oracle
     }

@@ -11,8 +11,11 @@ Oracle-parity tricks:
     split(regexp_replace(trim(text), '\\s+', ' '), ' ').
   - Cosine/Jaccard are rounded to 6 dp in both engines and ranked on the
     rounded value.
-SimHash and the LSH-bucketed ANN are Spark-only (rows-only driver check):
-their bit-level math has no cheap ANSI-SQL twin.
+  - Bit-level ops are made oracle-checkable by construction: SimHash reads
+    md5 hex nibbles columnar-side; winnowing uses Mersenne-31 integer math;
+    LSH planes are integer vectors over quantized embeddings (exact BIGINT
+    dot products, summation-order-independent). Only the HLL sketch and
+    KMeans-based IVF stay rows-only.
 """
 
 from __future__ import annotations
@@ -429,8 +432,13 @@ SQL_SIMHASH = _sql_simhash()
 
 
 # --------------------------------------------------------------------------
-# LSH-bucketed ANN (Spark-only): random-hyperplane signs, deterministic
-# planes seeded from the dimension index — the 10^12-scale similarity path
+# LSH-bucketed ANN: random-hyperplane signs over QUANTIZED embeddings —
+# the 10^12-scale similarity path. Embeddings quantize to round(x*1000)
+# BIGINT and the hyperplanes are deterministic integer vectors
+# (((p*131 + d*37) % 997) - 498), so the sign computation is exact integer
+# arithmetic, identical in numpy and DuckDB regardless of summation order
+# — which is what makes the entry hash-checkable (float dot products
+# near zero would flip sign bits between engines).
 # --------------------------------------------------------------------------
 
 _ANN_BUCKET_SCHEMA = T.StructType(
@@ -441,20 +449,25 @@ _ANN_BUCKET_SCHEMA = T.StructType(
 )
 
 N_PLANES = 8
+_Q_SCALE = 1000
+_PLANE_MOD, _PLANE_A, _PLANE_B, _PLANE_OFF = 997, 131, 37, 498
 
 
 def _plane_matrix(dim: int) -> np.ndarray:
-    rng = np.random.RandomState(1234)
-    return rng.standard_normal((N_PLANES, dim))
+    """Deterministic integer hyperplanes, identical to the SQL formula."""
+    p = np.arange(N_PLANES)[:, None]
+    d = np.arange(dim)[None, :]
+    return ((p * _PLANE_A + d * _PLANE_B) % _PLANE_MOD) - _PLANE_OFF
 
 
 def _ann_bucket_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     planes = None
     for pdf in it:
-        mat = np.stack(pdf["embedding"].to_numpy())
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        q = np.round(mat * _Q_SCALE).astype(np.int64)
         if planes is None:
-            planes = _plane_matrix(mat.shape[1])
-        signs = (mat @ planes.T) > 0
+            planes = _plane_matrix(mat.shape[1]).astype(np.int64)
+        signs = (q @ planes.T) > 0
         buckets = signs.dot(1 << np.arange(N_PLANES)).astype(np.int32)
         yield pd.DataFrame(
             {"vec_id": pdf["vec_id"], "bucket": buckets}
@@ -464,6 +477,77 @@ def _ann_bucket_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInPandas(_ann_bucket_batches, schema=_ANN_BUCKET_SCHEMA)
+
+
+def _sql_plane_dot(p: int) -> str:
+    return (
+        "list_sum(list_transform(range(1, len(embedding) + 1), d -> "
+        f"CAST(round(embedding[d] * {_Q_SCALE}) AS BIGINT) * "
+        f"((({p} * {_PLANE_A} + (d - 1) * {_PLANE_B}) % {_PLANE_MOD}) "
+        f"- {_PLANE_OFF})))"
+    )
+
+
+SQL_ANN_LSH_BUCKETS = (
+    "SELECT vec_id, CAST("
+    + " + ".join(
+        f"CASE WHEN {_sql_plane_dot(p)} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(N_PLANES)
+    )
+    + " AS INT) AS bucket FROM embeddings"
+)
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dups, LSH-bucketed (the scale path made oracle-checkable):
+# candidate pairs share a hyperplane bucket, then the exact rounded cosine
+# filter — same output shape as q_embedding_near_dups but no label oracle.
+# --------------------------------------------------------------------------
+
+def q_embedding_near_dups_lsh(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    b = q_ann_lsh_buckets(spark, sf_dir)
+    eb = e.join(b, "vec_id")
+    a = eb.select(F.col("vec_id").alias("id_a"), "bucket",
+                  F.col("embedding").alias("emb_a"))
+    bb = eb.select(F.col("vec_id").alias("id_b"),
+                   F.col("bucket").alias("bucket_b"),
+                   F.col("embedding").alias("emb_b"))
+    da = F.transform(F.col("emb_a"), lambda x: x.cast("double"))
+    db = F.transform(F.col("emb_b"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda acc, v: acc + v * v))
+    return (
+        a.join(bb, (F.col("bucket") == F.col("bucket_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .filter(F.col("cosine") > NEAR_DUP_COS)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS_LSH = f"""
+WITH buckets AS ({SQL_ANN_LSH_BUCKETS}),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(list_zip(
+             list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(b.embedding, x -> CAST(x AS DOUBLE))),
+             p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(a.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+  FROM buckets ba
+  JOIN buckets bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+  JOIN embeddings a ON a.vec_id = ba.vec_id
+  JOIN embeddings b ON b.vec_id = bb.vec_id)
+SELECT id_a, id_b, cosine FROM cand WHERE cosine > {NEAR_DUP_COS}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -664,11 +748,38 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash/LSH candidate pairs -> duplicate clusters via iterative
-    min-label propagation with pointer jumping (O(log diameter) rounds)."""
+    min-label propagation with pointer jumping (O(log diameter) rounds).
+    Oracle: DuckDB recursive-CTE transitive closure + min-per-node — an
+    O(V*E) check that is fine at oracle scale and proves the iterative
+    Spark algorithm reaches the same fixpoint."""
     from .operators.similarity import dedup_clusters
 
     pairs = q_minhash_lsh_pairs(spark, sf_dir)
     return dedup_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sig AS ({_sql_minhash_core()}),
+bands AS (
+  SELECT doc_id, 0 AS band_no, mh_0 || mh_1 AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, mh_2 || mh_3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh_4 || mh_5 FROM sig
+  UNION ALL SELECT doc_id, 3, mh_6 || mh_7 FROM sig),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src)
+SELECT node AS doc_id, MIN(r) AS cluster_id, node = MIN(r) AS is_keeper
+FROM reach GROUP BY node
+"""
 
 
 # --------------------------------------------------------------------------
@@ -866,3 +977,32 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "kind", "payload", "mime", "meta"
     ]
     return image_features(media)
+
+
+# --------------------------------------------------------------------------
+# Corpus heavy hitters: global top-k terms — the canonical training-data
+# vocabulary probe. Partial+final hash aggregation on a uniform key, then
+# a global TakeOrderedAndProject (no full sort at scale).
+# --------------------------------------------------------------------------
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(_norm_words()).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        tok.groupBy(F.lower("term").alias("term"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(50)
+    )
+
+
+SQL_TOP_TERMS = f"""
+SELECT lower(token) AS term, COUNT(*) AS n
+FROM (SELECT unnest({_SQL_WORDS}) AS token FROM documents)
+WHERE token <> ''
+GROUP BY lower(token)
+ORDER BY n DESC, term
+LIMIT 50
+"""

@@ -85,3 +85,43 @@ def test_extraction_is_size_aware(spark, corpus_dir):
     assert est > 0
     n = size_aware_partitions(pages)
     assert n >= 4 * spark.sparkContext.defaultParallelism
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Skew posture, runtime half: a hot join key concentrating ~99% of the
+    fact rows is split by AQE at execution (SortMergeJoin(skew=true) +
+    AQEShuffleRead skewed) — the engine-side complement to the explicit
+    size-aware salting of UDF-compute skew in operators/extraction.py.
+    Thresholds are lowered test-side: the defaults only fire at 256MB
+    partitions, far beyond fixture scale."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    s = spark
+    fact = s.range(200_000).select(
+        F.when(F.col("id") % 100 < 99, F.lit(7))
+        .otherwise(F.col("id") % 13).alias("k"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("v"),
+    )
+    dim = s.range(13).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("d"),
+    )
+    j = fact.join(dim, "k")
+    assert len(j.collect()) == 200_000
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+    assert "skew=true" in plan
+    assert "AQEShuffleRead skewed" in plan
