@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_validate": P.q_extract_validate,
         "extract_confusion": P.q_extract_confusion,
         "extract_spans": P.q_extract_spans,
+        "extract_blocks": P.q_extract_blocks,
         # relational operator inventory (SURVEY.md §2)
         "pricing_summary": Q.q_pricing_summary,
         "region_revenue": Q.q_region_revenue,
@@ -82,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": M.q_token_count,
         "fingerprint": M.q_fingerprint,
         "top_terms": M.q_top_terms,
+        "char_entropy": M.q_char_entropy,
         "next_word_after_key": M.q_next_word_after_key,
         "next_right_word_2d": SP.q_next_right_word_2d,
         "fuzzy_key_next_right": SP.q_fuzzy_key_next_right,
@@ -98,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_validate": P.SQL_EXTRACT_VALIDATE,
         "extract_confusion": P.SQL_EXTRACT_CONFUSION,
         "extract_spans": P.SQL_EXTRACT_SPANS,
+        "extract_blocks": P.SQL_EXTRACT_BLOCKS,
         "pricing_summary": Q.SQL_PRICING_SUMMARY,
         "region_revenue": Q.SQL_REGION_REVENUE,
         "top_order_per_customer": Q.SQL_TOP_ORDER_PER_CUSTOMER,
@@ -134,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": M.SQL_TOKEN_COUNT,
         "fingerprint": M.SQL_FINGERPRINT,
         "top_terms": M.SQL_TOP_TERMS,
+        "char_entropy": M.SQL_CHAR_ENTROPY,
         "next_word_after_key": M.SQL_NEXT_WORD_AFTER_KEY,
         "winnow_fingerprint": M.SQL_WINNOW_FINGERPRINT,
         "simhash": M.SQL_SIMHASH,

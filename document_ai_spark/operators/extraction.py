@@ -244,6 +244,80 @@ def extract_pages(
     return cols.mapInArrow(_extract_batches, schema=EXTRACTED_SCHEMA)
 
 
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("block_id", T.IntegerType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("text_len", T.IntegerType()),
+        T.StructField("link_text_len", T.IntegerType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("is_heading", T.BooleanType()),
+        T.StructField("in_chrome", T.BooleanType()),
+        T.StructField("accepted", T.BooleanType()),
+    ]
+)
+
+
+def _block_batches(batches):
+    import pyarrow as pa
+
+    from ..kernel.charset import decode_html
+    from ..kernel.classify import classify_blocks
+    from ..kernel.tokenizer import tokenize_blocks
+
+    for b in batches:
+        urls = b.column(b.schema.get_field_index("url")).to_pylist()
+        htmls = b.column(b.schema.get_field_index("html")).to_pylist()
+        cols: dict[str, list] = {f.name: [] for f in BLOCKS_SCHEMA.fields}
+        for url, raw in zip(urls, htmls):
+            if raw is None or raw.startswith(b"%PDF-"):
+                continue
+            try:
+                text, _cs = decode_html(raw)
+                blocks = tokenize_blocks(text)
+                flags = classify_blocks(blocks)
+            except Exception:
+                continue  # undecodable page -> no block rows
+            for blk, ok in zip(blocks, flags):
+                cols["url"].append(url)
+                cols["block_id"].append(blk.block_id)
+                cols["tag"].append(blk.tag)
+                cols["depth"].append(blk.depth)
+                cols["text_len"].append(blk.text_len)
+                cols["link_text_len"].append(blk.link_text_len)
+                cols["n_words"].append(blk.n_words)
+                cols["is_heading"].append(blk.is_heading)
+                cols["in_chrome"].append(blk.in_chrome)
+                cols["accepted"].append(ok)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols["url"], pa.string()),
+                pa.array(cols["block_id"], pa.int32()),
+                pa.array(cols["tag"], pa.string()),
+                pa.array(cols["depth"], pa.int32()),
+                pa.array(cols["text_len"], pa.int32()),
+                pa.array(cols["link_text_len"], pa.int32()),
+                pa.array(cols["n_words"], pa.int32()),
+                pa.array(cols["is_heading"], pa.bool_()),
+                pa.array(cols["in_chrome"], pa.bool_()),
+                pa.array(cols["accepted"], pa.bool_()),
+            ],
+            names=[f.name for f in BLOCKS_SCHEMA.fields],
+        )
+
+
+def extract_blocks(pages: DataFrame) -> DataFrame:
+    """Per-block debugging surface: one row per segmented block with its
+    feature vector and the classifier decision — the 'why was this block
+    kept/dropped' view (analog of the reference's per-block verbose dumps,
+    /root/reference/ai_documents/analysis/cv/document_parsing.py verbose
+    paths). Same pruned-column mapInArrow shape as extract_pages."""
+    cols = pages.select("url", "html")
+    return cols.mapInArrow(_block_batches, schema=BLOCKS_SCHEMA)
+
+
 def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
     """Per-partition extraction metrics (A10 analog of the reference's
     per-run summary rows, /root/reference/performances.py:271-296)."""

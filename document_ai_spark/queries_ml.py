@@ -1006,3 +1006,42 @@ GROUP BY lower(token)
 ORDER BY n DESC, term
 LIMIT 50
 """
+
+
+# --------------------------------------------------------------------------
+# Character-entropy quality signal (low-entropy docs are boilerplate /
+# repeated-token spam; a standard webtext filter). Columnar: explode chars,
+# per-char counts, -sum(p*log2(p)) rounded to 6dp in both engines.
+# --------------------------------------------------------------------------
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    ch = d.select(
+        "doc_id", F.explode(F.split(norm, "")).alias("c")
+    ).filter(F.col("c") != "")
+    counts = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"))
+    )
+
+
+SQL_CHAR_ENTROPY = r"""
+WITH ch AS (
+  SELECT doc_id,
+         unnest(str_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ''))
+             AS c
+  FROM documents),
+counts AS (
+  SELECT doc_id, c, COUNT(*) AS n FROM ch WHERE c <> '' GROUP BY doc_id, c),
+tot AS (SELECT doc_id, SUM(n) AS total FROM counts GROUP BY doc_id)
+SELECT counts.doc_id,
+       round(-SUM((CAST(n AS DOUBLE) / total)
+                  * log2(CAST(n AS DOUBLE) / total)), 6) AS entropy
+FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+GROUP BY counts.doc_id
+"""

@@ -238,3 +238,54 @@ UNION ALL
 SELECT doc_id, 1, CAST(hlen + 2 AS BIGINT), CAST(hlen + 2 + tlen AS BIGINT),
        'text' FROM base
 """
+
+
+def q_extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block debug surface over the synthesized article pages: the
+    block sequence of that page shape is closed-form (7 blocks: two nav
+    li's, the h1 site header, the h2 heading, the body paragraph, the
+    aside ad, the footer p), so every feature the tokenizer computes and
+    every classifier decision is oracle-checked per document."""
+    from .operators.extraction import extract_blocks
+
+    d = _t(spark, sf_dir, "documents")
+    pages = _article_pages(d)
+    blk = extract_blocks(pages)
+    return blk.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "block_id", "tag", "depth", "text_len", "link_text_len",
+        "n_words", "is_heading", "in_chrome", "accepted",
+    )
+
+
+# closed-form per-block expectations for the article page shape; the only
+# doc-dependent features are the h2 heading length (24 + digits of doc_id)
+# and the paragraph (normalized text length / word count, accepted by R1
+# iff >= 10 words, which also drives the h2's R2 promotion)
+SQL_EXTRACT_BLOCKS = """
+WITH f AS (
+  SELECT doc_id,
+         length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS p_len,
+         len(str_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+             AS p_words
+  FROM documents)
+SELECT doc_id, block_id, tag, depth, text_len, link_text_len, n_words,
+       is_heading, in_chrome, accepted
+FROM f, (VALUES
+  (0, 'li', 5, 4, 4, 1, false, true),
+  (1, 'li', 5, 8, 8, 2, false, true),
+  (2, 'h1', 4, 11, 0, 2, true, true),
+  (3, 'h2', 4, NULL, 0, 5, true, false),
+  (4, 'p', 4, NULL, 0, NULL, false, false),
+  (5, 'aside', 3, 19, 19, 4, false, true),
+  (6, 'p', 4, 16, 0, 2, false, true)
+) AS b(block_id, tag, depth, tl, link_text_len, nw, is_heading, in_chrome),
+LATERAL (SELECT
+  CAST(CASE WHEN b.block_id = 3
+            THEN 24 + length(CAST(doc_id AS VARCHAR))
+            WHEN b.block_id = 4 THEN p_len
+            ELSE b.tl END AS INT) AS text_len,
+  CAST(COALESCE(b.nw, p_words) AS INT) AS n_words,
+  CASE WHEN b.block_id IN (3, 4) THEN p_words >= 10
+       ELSE false END AS accepted) x
+"""
