@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": M.q_winnow_fingerprint,
         "best_config_per_metric": TU.q_best_config_per_metric,
         "media_features": M.q_media_features,
+        "frame_samples": M.q_frame_samples,
     }
 
 
@@ -147,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": M.SQL_DEDUP_CLUSTERS,
         "ann_lsh_buckets": M.SQL_ANN_LSH_BUCKETS,
         "embedding_near_dups_lsh": M.SQL_EMBEDDING_NEAR_DUPS_LSH,
+        "frame_samples": M.SQL_FRAME_SAMPLES,
         # approx_distinct_users (HLL sketch), ann_ivf_topk (KMeans),
         # media_features (stub decoder): intentionally no oracle
     }

@@ -316,10 +316,17 @@ def write_baseline_md(scaling: dict, mp: dict, queries: dict,
             f"{scaling.get(f'mb_per_sec@{c}c')} | "
             f"{scaling.get(f'wall@{c}c')} |"
         )
+    steady_key = f"steady_docs_per_sec@{CPUS}c"
     lines += [
         "",
         f"**Scaling efficiency {scaling['scaling_pair']} (N -> 4N): "
         f"{scaling['scaling_efficiency']}** (target ≥ 0.8)",
+        "",
+        f"Warm steady-state extraction stage at local[{CPUS}] "
+        f"(second of two back-to-back runs in one JVM): "
+        f"**{scaling.get(steady_key)} docs/s** — the amortized rate once "
+        "the per-run JIT/session fixed costs (real in the fresh-JVM runs "
+        "above, zero on a production corpus) are paid.",
         "",
         "### Reference comparison",
         "",
@@ -369,6 +376,38 @@ def write_baseline_md(scaling: dict, mp: dict, queries: dict,
         f.write("\n".join(lines) + "\n")
 
 
+def steady_state(corpus: str) -> dict:
+    """Warm steady-state throughput of the extraction stage (scan ->
+    mapInArrow -> parquet write) at the full width: two back-to-back runs
+    in one JVM, second reported. The fresh-JVM scaling runs above pay
+    ~5-8 s of one-time JIT/session costs per run — real for a benchmark,
+    amortized to zero on a production corpus; this number shows the
+    amortized rate the cluster actually sustains."""
+    import shutil
+
+    from document_ai_spark.operators.extraction import extract_pages
+    from document_ai_spark.session import get_spark
+
+    spark = get_spark(app_name="steady", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    pages = spark.read.parquet(corpus)
+    n = pages.count()
+    tdir = tempfile.mkdtemp(prefix="das_steady_")
+    trials = []
+    for t_i in range(2):
+        dst = os.path.join(tdir, f"t{t_i}")
+        t0 = time.time()
+        extract_pages(pages).write.mode("overwrite").parquet(dst)
+        trials.append(round(n / (time.time() - t0), 1))
+        shutil.rmtree(dst, ignore_errors=True)
+    spark.stop()
+    shutil.rmtree(tdir, ignore_errors=True)
+    return {
+        f"steady_docs_per_sec@{CPUS}c": trials[-1],
+        "steady_trials": trials,
+    }
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from document_ai_spark.session import get_spark
@@ -398,6 +437,10 @@ def main() -> int:
     mp = mp_control(corpus, tuple(sorted(set(SCALE_CORES))))
     print(f"[bench] mp control done +{time.time()-t_start:.0f}s",
           file=sys.stderr)
+    steady = steady_state(corpus)
+    print(f"[bench] steady state done +{time.time()-t_start:.0f}s",
+          file=sys.stderr)
+    scaling.update(steady)
     total = round(sum(q_times.values()), 2)
     write_baseline_md(scaling, mp, q_times, SF_DIR)
     print(

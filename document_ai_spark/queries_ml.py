@@ -1045,3 +1045,56 @@ SELECT counts.doc_id,
 FROM counts JOIN tot ON counts.doc_id = tot.doc_id
 GROUP BY counts.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Video frame sampling (multimodal M6 subdivide over binary payloads) made
+# oracle-checkable: the stub frame extractor takes deterministic byte
+# slices, so DuckDB reproduces every frame by slicing hex(payload) (DuckDB
+# cannot substring BLOBs; 2 hex chars per byte). Frames are emitted as hex
+# strings for engine-portable comparison.
+# --------------------------------------------------------------------------
+
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("video/x-fake").alias("mime"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (100 + F.col("doc_id") % 400).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    assert [f.name for f in MEDIA_SCHEMA.fields] == [
+        "media_id", "kind", "payload", "mime", "meta"
+    ]
+    frames = sample_frames(media, n_frames=4)
+    return frames.select(
+        "media_id", "frame_no", "ts_ms",
+        F.hex("frame").alias("frame_hex"),
+    )
+
+
+SQL_FRAME_SAMPLES = """
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS payload_hex,
+         octet_length(encode(text)) AS plen,
+         100 + (doc_id % 400) AS dur
+  FROM documents),
+f AS (
+  SELECT doc_id, payload_hex, plen, dur, dur // 4 AS step,
+         unnest(range(0, 4)) AS fno
+  FROM m WHERE plen > 0 AND dur > 0)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(fno AS INT) AS frame_no,
+       CAST(fno * step AS INT) AS ts_ms,
+       substring(payload_hex,
+                 2 * ((fno * step * 31) % greatest(plen, 1)) + 1,
+                 128) AS frame_hex
+FROM f
+"""
