@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": M.q_fingerprint,
         "top_terms": M.q_top_terms,
         "char_entropy": M.q_char_entropy,
+        "quality_gopher": M.q_quality_gopher,
+        "pii_scrub": M.q_pii_scrub,
         "next_word_after_key": M.q_next_word_after_key,
         "next_right_word_2d": SP.q_next_right_word_2d,
         "fuzzy_key_next_right": SP.q_fuzzy_key_next_right,
@@ -139,6 +141,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": M.SQL_FINGERPRINT,
         "top_terms": M.SQL_TOP_TERMS,
         "char_entropy": M.SQL_CHAR_ENTROPY,
+        "quality_gopher": M.SQL_QUALITY_GOPHER,
+        "pii_scrub": M.SQL_PII_SCRUB,
         "next_word_after_key": M.SQL_NEXT_WORD_AFTER_KEY,
         "winnow_fingerprint": M.SQL_WINNOW_FINGERPRINT,
         "simhash": M.SQL_SIMHASH,

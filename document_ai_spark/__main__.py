@@ -123,6 +123,28 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_blocks(args) -> int:
+    """Per-block debug dump: one row per segmented block with the feature
+    vector and the classifier decision (why was this block kept/dropped)."""
+    from document_ai_spark.operators.extraction import extract_blocks
+    from document_ai_spark.sources.io import read_pages
+
+    spark = _spark(args)
+    pages = read_pages(spark, args.input)
+    if args.url:
+        pages = pages.filter(pages.url == args.url)
+    blocks = extract_blocks(pages)
+    blocks.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    stats = out.groupBy("accepted").count().collect()
+    print(json.dumps({
+        "blocks": out.count(),
+        "accepted": {str(r.accepted): r["count"] for r in stats},
+        "out_dir": args.output,
+    }))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from pyspark.sql import functions as F
 
@@ -175,6 +197,13 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--table", required=True)
     k.add_argument("--target-mb", type=int, default=128)
     k.set_defaults(fn=cmd_compact)
+
+    b = sub.add_parser("blocks", help="per-block debug dump (features + "
+                       "classifier decision)")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--url", default=None, help="restrict to one document")
+    b.set_defaults(fn=cmd_blocks)
 
     v = sub.add_parser("validate", help="QA predicates + golden accuracy")
     v.add_argument("--extracted", required=True)

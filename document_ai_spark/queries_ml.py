@@ -1098,3 +1098,132 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
                  128) AS frame_hex
 FROM f
 """
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rule pack (Rae et al. 2021 §A1.1-style heuristics,
+# the rules that make sense for single-paragraph synthetic docs): mean word
+# length bounds, symbol-to-word ratio, alpha-word fraction, minimum
+# stopword evidence. One scan, all rules as column expressions.
+# --------------------------------------------------------------------------
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = _norm_words()
+    n_words = F.size(words)
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("^[A-Za-z]+$"))
+    )
+    mean_wl = (
+        F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+        / n_words
+    )
+    n_sym = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"([#@\[\]{}<>|~^])"),
+                             F.lit(1))
+    )
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower("text"),
+            F.lit(r"\b(the|be|to|of|and|that|have|with)\b"), F.lit(1),
+        )
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(n_alpha_words.cast("double") / n_words, 6).alias(
+            "alpha_word_ratio"
+        ),
+        F.round(n_sym.cast("double") / n_words, 6).alias("symbol_ratio"),
+        n_stop.cast("long").alias("n_stopwords"),
+        (
+            (n_words >= 50)
+            & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+            & (n_alpha_words * 10 >= n_words * 8)
+            & (n_sym * 10 <= n_words)
+            & (n_stop >= 2)
+        ).alias("gopher_ok"),
+    )
+
+
+SQL_QUALITY_GOPHER = rf"""
+WITH b AS (
+  SELECT doc_id,
+         len({_SQL_WORDS}) AS n_words,
+         len(list_filter({_SQL_WORDS},
+                         w -> regexp_full_match(w, '[A-Za-z]+')))
+             AS n_alpha,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+         len(regexp_extract_all(text, '([#@\[\]{{}}<>|~^])', 1)) AS n_sym,
+         len(regexp_extract_all(lower(text),
+             '\b(the|be|to|of|and|that|have|with)\b', 1)) AS n_stop
+  FROM documents)
+SELECT doc_id, n_words,
+       round(CAST(n_nonspace AS DOUBLE) / n_words, 6) AS mean_word_len,
+       round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_word_ratio,
+       round(CAST(n_sym AS DOUBLE) / n_words, 6) AS symbol_ratio,
+       n_stop AS n_stopwords,
+       n_words >= 50
+         AND CAST(n_nonspace AS DOUBLE) / n_words >= 3.0
+         AND CAST(n_nonspace AS DOUBLE) / n_words <= 10.0
+         AND n_alpha * 10 >= n_words * 8
+         AND n_sym * 10 <= n_words
+         AND n_stop >= 2 AS gopher_ok
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
+# PII detect + redact (crawl-pipeline scrubbing). The synthetic corpus has
+# no PII, so each doc gets a deterministic injected email + IPv4 FIRST —
+# the detection/redaction then has a known non-vacuous answer per doc.
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".1 "),
+        F.col("text"),
+    )
+    n_emails = F.size(
+        F.regexp_extract_all(injected, F.lit(f"({_EMAIL_RE})"), F.lit(1))
+    )
+    n_ips = F.size(
+        F.regexp_extract_all(injected, F.lit(f"({_IPV4_RE})"), F.lit(1))
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(injected, _EMAIL_RE, "<EMAIL>"),
+        _IPV4_RE, "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        F.substring(scrubbed, 1, 60).alias("scrubbed_prefix"),
+    )
+
+
+SQL_PII_SCRUB = rf"""
+WITH inj AS (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR) || '@example.com from '
+           || '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 ' || text
+             AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '({_EMAIL_RE})', 1)) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(t, '({_IPV4_RE})', 1)) AS BIGINT)
+           AS n_ips,
+       substring(regexp_replace(
+           regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_IPV4_RE}', '<IP>', 'g'), 1, 60) AS scrubbed_prefix
+FROM inj
+"""

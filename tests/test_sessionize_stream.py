@@ -191,3 +191,47 @@ def test_streaming_session_window_with_watermark(spark, tmp_path):
     # watermark advancing past base+40min; the trailing session may remain
     # open (append mode emits only finalized sessions)
     assert (1, 2) in closed
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    """Crawl-ingest dedup: readStream -> withWatermark -> dropDuplicates
+    on url keeps exactly the first arrival of each url across
+    micro-batches (state-store-backed exactly-once semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir = str(tmp_path / "dd")
+    os.makedirs(in_dir)
+
+    def w(name, rows):
+        pq.write_table(
+            pa.table({
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array([r[1] for r in rows],
+                               pa.timestamp("us", tz="UTC")),
+                "rev": pa.array([r[2] for r in rows], pa.int64()),
+            }),
+            os.path.join(in_dir, name),
+        )
+
+    w("b1.parquet", [("u/a", T0, 1), ("u/b", T0 + 1, 1)])
+    w("b2.parquet", [("u/a", T0 + 2, 2), ("u/c", T0 + 3, 1)])  # dup u/a
+
+    stream = (
+        spark.readStream.schema("url string, ts timestamp, rev long")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet").load(in_dir)
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["url"])
+    out = []
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.url: r.rev for r in out}
+    assert got == {"u/a": 1, "u/b": 1, "u/c": 1}  # first arrival wins
