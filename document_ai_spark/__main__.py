@@ -6,6 +6,8 @@ Usage (local or cluster — the module is self-contained for --py-files):
   python -m document_ai_spark extract --input DIR --output DIR [opts]
   python -m document_ai_spark datagen --output DIR --n-docs N [--seed S]
   python -m document_ai_spark validate --extracted DIR [--golden DIR]
+  python -m document_ai_spark compact --table DIR [--target-mb N]
+  python -m document_ai_spark blocks --input DIR --output DIR [--url U]
 """
 
 from __future__ import annotations
@@ -37,16 +39,13 @@ def cmd_datagen(args) -> int:
 
 
 def cmd_extract(args) -> int:
-    from pyspark.sql import functions as F
-
-    from document_ai_spark.operators.lineage import run_extraction_job
-    from document_ai_spark.sources.io import read_pages
-
     import tempfile
 
-    from pyspark.sql import functions as F2
+    from pyspark.sql import functions as F
 
     from document_ai_spark.operators.extraction import extract_pages
+    from document_ai_spark.operators.lineage import run_extraction_job
+    from document_ai_spark.sources.io import read_pages
 
     t_boot = time.time()
     spark = _spark(args)
@@ -61,13 +60,11 @@ def cmd_extract(args) -> int:
         # warm rows JIT the wrong specializations (constant strings,
         # dictionary-encoded columns); a real slice triggers C2 on the hot
         # loops the measured window will actually run.
-        from document_ai_spark.sources.io import read_pages as _rp
-
-        warm = _rp(spark, args.input).limit(4096)
+        warm = read_pages(spark, args.input).limit(4096)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             extract_pages(warm, salted=False)
-            .withColumn("shard_id", F2.lit(0))
+            .withColumn("shard_id", F.lit(0))
             .write.mode("overwrite").partitionBy("shard_id")
             .parquet(f"{td}/warm_out")
         )
