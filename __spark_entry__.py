@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": M.q_char_entropy,
         "quality_gopher": M.q_quality_gopher,
         "pii_scrub": M.q_pii_scrub,
+        "training_mix": M.q_training_mix,
+        "curation_funnel": M.q_curation_funnel,
         "next_word_after_key": M.q_next_word_after_key,
         "next_right_word_2d": SP.q_next_right_word_2d,
         "fuzzy_key_next_right": SP.q_fuzzy_key_next_right,
@@ -143,6 +145,8 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": M.SQL_CHAR_ENTROPY,
         "quality_gopher": M.SQL_QUALITY_GOPHER,
         "pii_scrub": M.SQL_PII_SCRUB,
+        "training_mix": M.SQL_TRAINING_MIX,
+        "curation_funnel": M.SQL_CURATION_FUNNEL,
         "next_word_after_key": M.SQL_NEXT_WORD_AFTER_KEY,
         "winnow_fingerprint": M.SQL_WINNOW_FINGERPRINT,
         "simhash": M.SQL_SIMHASH,

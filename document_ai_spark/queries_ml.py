@@ -1227,3 +1227,90 @@ SELECT doc_id,
            '{_IPV4_RE}', '<IP>', 'g'), 1, 60) AS scrubbed_prefix
 FROM inj
 """
+
+
+# --------------------------------------------------------------------------
+# The curation funnel — the composition the whole training-data layer
+# exists for: exact-dedup keeper AND quality gate AND Gopher rule pack AND
+# language-ID agreement -> the kept training mix with token counts, plus
+# per-stage funnel counts. One relational plan, fully oracle-checked.
+# --------------------------------------------------------------------------
+
+def _curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keep_dedup = q_dedup_exact(spark, sf_dir).select(
+        "doc_id", F.col("is_keeper").alias("pass_dedup")
+    )
+    q = q_quality_score(spark, sf_dir).select(
+        "doc_id", F.col("quality_ok").alias("pass_quality"), "n_tokens"
+    )
+    g = q_quality_gopher(spark, sf_dir).select(
+        "doc_id", F.col("gopher_ok").alias("pass_gopher")
+    )
+    lid = q_lang_id(spark, sf_dir).select(
+        "doc_id", (F.col("pred_lang") == F.col("lang")).alias("pass_lang")
+    )
+    return (
+        keep_dedup.join(q, "doc_id").join(g, "doc_id").join(lid, "doc_id")
+    )
+
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _curation_flags(spark, sf_dir)
+    return (
+        f.filter("pass_dedup AND pass_quality AND pass_gopher AND pass_lang")
+        .select("doc_id", "n_tokens")
+    )
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _curation_flags(spark, sf_dir)
+    kept = (
+        F.col("pass_dedup") & F.col("pass_quality") & F.col("pass_gopher")
+        & F.col("pass_lang")
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(F.col("pass_dedup").cast("long")).alias("after_dedup"),
+        F.sum((F.col("pass_dedup") & F.col("pass_quality")).cast("long"))
+        .alias("after_quality"),
+        F.sum((F.col("pass_dedup") & F.col("pass_quality")
+               & F.col("pass_gopher")).cast("long")).alias("after_gopher"),
+        F.sum(kept.cast("long")).alias("kept"),
+        F.sum(F.when(kept, F.col("n_tokens"))).alias("kept_tokens"),
+    )
+
+
+def _sql_curation_flags() -> str:
+    return f"""
+  SELECT d.doc_id, d.pass_dedup, q.pass_quality, q.n_tokens,
+         g.pass_gopher, l.pass_lang
+  FROM (SELECT doc_id, is_keeper AS pass_dedup
+        FROM ({SQL_DEDUP_EXACT})) d
+  JOIN (SELECT doc_id, quality_ok AS pass_quality, n_tokens
+        FROM ({SQL_QUALITY_SCORE})) q ON d.doc_id = q.doc_id
+  JOIN (SELECT doc_id, gopher_ok AS pass_gopher
+        FROM ({SQL_QUALITY_GOPHER})) g ON d.doc_id = g.doc_id
+  JOIN (SELECT doc_id, pred_lang = lang AS pass_lang
+        FROM ({SQL_LANG_ID})) l ON d.doc_id = l.doc_id
+"""
+
+
+SQL_TRAINING_MIX = f"""
+SELECT doc_id, n_tokens FROM ({_sql_curation_flags()})
+WHERE pass_dedup AND pass_quality AND pass_gopher AND pass_lang
+"""
+
+SQL_CURATION_FUNNEL = f"""
+SELECT COUNT(*) AS total_docs,
+       CAST(SUM(CAST(pass_dedup AS INT)) AS BIGINT) AS after_dedup,
+       CAST(SUM(CAST(pass_dedup AND pass_quality AS INT)) AS BIGINT)
+           AS after_quality,
+       CAST(SUM(CAST(pass_dedup AND pass_quality AND pass_gopher AS INT))
+            AS BIGINT) AS after_gopher,
+       CAST(SUM(CAST(pass_dedup AND pass_quality AND pass_gopher
+                     AND pass_lang AS INT)) AS BIGINT) AS kept,
+       CAST(SUM(CASE WHEN pass_dedup AND pass_quality AND pass_gopher
+                     AND pass_lang THEN n_tokens END) AS BIGINT)
+           AS kept_tokens
+FROM ({_sql_curation_flags()})
+"""
