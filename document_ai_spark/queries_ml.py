@@ -1237,21 +1237,73 @@ FROM inj
 # --------------------------------------------------------------------------
 
 def _curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    keep_dedup = q_dedup_exact(spark, sf_dir).select(
-        "doc_id", F.col("is_keeper").alias("pass_dedup")
+    """All four stage flags computed in ONE scan of the documents table —
+    quality/gopher/lang flags are pure column expressions and the dedup
+    keeper is a single window over md5(text). Composing the four q_*
+    queries would re-scan the (100 TB) text column four times; the DuckDB
+    oracle composes them anyway (oracle scale is tiny) and hash-equality
+    proves this fused plan computes the same flags."""
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    words = _norm_words()
+    n_tokens = F.size(words).cast("long")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"([.,;:!?])"), F.lit(1))
     )
-    q = q_quality_score(spark, sf_dir).select(
-        "doc_id", F.col("quality_ok").alias("pass_quality"), "n_tokens"
+    pass_quality = (
+        (n_tokens >= 20) & (n_tokens <= 100000)
+        & (n_punct * 10 <= n_tokens * 3)
     )
-    g = q_quality_gopher(spark, sf_dir).select(
-        "doc_id", F.col("gopher_ok").alias("pass_gopher")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("^[A-Za-z]+$")))
+    n_nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    mean_wl = n_nonspace.cast("double") / n_tokens
+    n_sym = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"([#@\[\]{}<>|~^])"),
+                             F.lit(1))
     )
-    lid = q_lang_id(spark, sf_dir).select(
-        "doc_id", (F.col("pred_lang") == F.col("lang")).alias("pass_lang")
+    n_stop8 = F.size(
+        F.regexp_extract_all(
+            F.lower("text"),
+            F.lit(r"\b(the|be|to|of|and|that|have|with)\b"), F.lit(1),
+        )
     )
-    return (
-        keep_dedup.join(q, "doc_id").join(g, "doc_id").join(lid, "doc_id")
+    pass_gopher = (
+        (n_tokens >= 50) & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+        & (n_alpha * 10 >= n_tokens * 8) & (n_sym * 10 <= n_tokens)
+        & (n_stop8 >= 2)
     )
+    low = F.lower(F.col("text"))
+    s = {
+        k: F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(1)))
+        for k, pat in _LANG_PATTERNS.items()
+    }
+    s_zh = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"([\x{4e00}-\x{9fff}])"),
+                             F.lit(1))
+    )
+    pred_lang = (
+        F.when(
+            (s_zh > s["en"]) & (s_zh > s["de"]) & (s_zh > s["fr"])
+            & (s_zh > s["es"]), "zh")
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"])
+              & (s["en"] >= s["es"]), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    flags = d.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_hash"),
+        n_tokens.alias("n_tokens"),
+        pass_quality.alias("pass_quality"),
+        pass_gopher.alias("pass_gopher"),
+        (pred_lang == F.col("lang")).alias("pass_lang"),
+    )
+    w = W.partitionBy("text_hash")
+    return flags.withColumn(
+        "pass_dedup", F.col("doc_id") == F.min("doc_id").over(w)
+    ).drop("text_hash")
 
 
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3,7 +3,7 @@
 The driver's DuckDB oracle can't run our extractor — but it can verify it
 end-to-end anyway: we synthesize page HTML *inside the query* from the
 `documents` table with deterministic SQL string concatenation, run the real
-mapInPandas extraction kernel over the resulting bytes, and the expected
+mapInArrow extraction kernel over the resulting bytes, and the expected
 main_text is then a closed-form SQL expression over the same table
 (heading || blank line || whitespace-normalized text). Byte-identical
 extraction per url — the north-rule invariant — checked by the driver at
