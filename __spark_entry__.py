@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_key_next_right": SP.q_fuzzy_key_next_right,
         "winnow_fingerprint": M.q_winnow_fingerprint,
         "best_config_per_metric": TU.q_best_config_per_metric,
+        "best_config_by_lang": TU.q_best_config_by_lang,
         "media_features": M.q_media_features,
         "frame_samples": M.q_frame_samples,
     }
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "next_right_word_2d": SP.SQL_NEXT_RIGHT_WORD_2D,
         "fuzzy_key_next_right": SP.SQL_FUZZY_KEY_NEXT_RIGHT,
         "best_config_per_metric": TU.SQL_BEST_CONFIG_PER_METRIC,
+        "best_config_by_lang": TU.SQL_BEST_CONFIG_BY_LANG,
         "dedup_clusters": M.SQL_DEDUP_CLUSTERS,
         "ann_lsh_buckets": M.SQL_ANN_LSH_BUCKETS,
         "embedding_near_dups_lsh": M.SQL_EMBEDDING_NEAR_DUPS_LSH,

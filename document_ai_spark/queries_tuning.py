@@ -116,3 +116,85 @@ FROM melted
 QUALIFY row_number() OVER (PARTITION BY metric
                            ORDER BY value DESC, config_id) = 1
 """
+
+
+def q_best_config_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuner's sectioned selection (parse_random_search_results keeps
+    the max-value config separately for by_file / by_block / by_key,
+    tuning.py:347-397): here the grouping dimension is the document
+    language — best config per (metric, lang)."""
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(_norm_words()).cast("long")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"([.,;:!?])"), F.lit(1))
+    ).cast("long")
+    base = d.select(
+        "lang", n_tokens.alias("n_tokens"), n_punct.alias("n_punct")
+    )
+    grid = F.broadcast(
+        spark.range(N_CONFIGS).select(
+            F.col("id").cast("int").alias("config_id"),
+            (5 + (F.col("id") * 17) % 60).cast("int").alias("min_tok"),
+            (1 + (F.col("id") * 5) % 7).cast("int").alias("max_p"),
+        )
+    )
+    j = base.crossJoin(grid)
+    cfg_pass = (F.col("n_tokens") >= F.col("min_tok")) & (
+        F.col("n_punct") * 10 <= F.col("n_tokens") * F.col("max_p")
+    )
+    log = j.groupBy("lang", "config_id", "min_tok", "max_p").agg(
+        F.round(F.avg(cfg_pass.cast("int")), 6).alias("pass_rate"),
+        F.round(
+            F.coalesce(F.avg(F.when(cfg_pass, F.col("n_tokens"))),
+                       F.lit(0.0)), 6,
+        ).alias("mean_tokens_pass"),
+    )
+    melted = None
+    for m in ("pass_rate", "mean_tokens_pass"):
+        part = log.select(
+            "lang", F.lit(m).alias("metric"), F.col(m).alias("value"),
+            "config_id", "min_tok", "max_p",
+        )
+        melted = part if melted is None else melted.unionAll(part)
+    win = W.partitionBy("lang", "metric").orderBy(
+        F.col("value").desc(), F.col("config_id")
+    )
+    return (
+        melted.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("lang", "metric", "value", "config_id", "min_tok", "max_p")
+    )
+
+
+SQL_BEST_CONFIG_BY_LANG = rf"""
+WITH base AS (
+  SELECT lang,
+         len({_SQL_WORDS}) AS n_tokens,
+         len(regexp_extract_all(text, '([.,;:!?])', 1)) AS n_punct
+  FROM documents),
+grid AS (
+  SELECT CAST(i AS INT) AS config_id,
+         CAST(5 + (i * 17) % 60 AS INT) AS min_tok,
+         CAST(1 + (i * 5) % 7 AS INT) AS max_p
+  FROM (SELECT unnest(range(0, {N_CONFIGS})) AS i)),
+j AS (
+  SELECT *, n_tokens >= min_tok AND n_punct * 10 <= n_tokens * max_p
+            AS cfg_pass
+  FROM base, grid),
+log AS (
+  SELECT lang, config_id, min_tok, max_p,
+         round(avg(CAST(cfg_pass AS INT)), 6) AS pass_rate,
+         round(COALESCE(avg(n_tokens) FILTER (cfg_pass), 0.0), 6)
+             AS mean_tokens_pass
+  FROM j GROUP BY lang, config_id, min_tok, max_p),
+melted AS (
+  SELECT lang, 'pass_rate' AS metric, pass_rate AS value,
+         config_id, min_tok, max_p FROM log
+  UNION ALL
+  SELECT lang, 'mean_tokens_pass', mean_tokens_pass, config_id, min_tok,
+         max_p FROM log)
+SELECT lang, metric, value, config_id, min_tok, max_p
+FROM melted
+QUALIFY row_number() OVER (PARTITION BY lang, metric
+                           ORDER BY value DESC, config_id) = 1
+"""

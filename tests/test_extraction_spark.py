@@ -388,3 +388,47 @@ def test_compaction_crash_before_swap_keeps_lineage(spark, corpus_dir,
     stats = compact_table(spark, out)
     assert stats["rows"] == spark.read.parquet(out).count()
     assert spark.read.parquet(lin_dir).count() == lin_before
+
+
+def test_lineage_mixed_writers_resume(spark, corpus_dir, tmp_path):
+    """Upgrade path: a table whose lineage was written by the old
+    Spark-job writer (INT96 parquet timestamps) must still resume
+    correctly when the new driver-side pyarrow writer appends to the same
+    directory — done_shards and the latest-row max_by must read the mix."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.operators.lineage import (
+        _lineage_path,
+        done_shards,
+    )
+    from document_ai_spark.sources.io import append_rows
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    out = str(tmp_path / "mixed")
+    # legacy-style lineage rows written through a Spark job
+    legacy = spark.createDataFrame(
+        [("old", 0, 10, 1000, 0,
+          datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 1),
+          "done")],
+        "run_id string, shard_id int, docs long, bytes long, "
+        "parse_failures long, started_ts timestamp, finished_ts timestamp, "
+        "status string",
+    )
+    os.makedirs(out)
+    append_rows(legacy, _lineage_path(out))
+    assert done_shards(spark, out) == {0}
+
+    # the new job (pyarrow lineage writer) resumes past the legacy shard
+    r = run_extraction_job(pages, out, n_shards=4, shards_per_commit=4,
+                           run_id="new", num_partitions=4)
+    assert r["shards_done_prior"] == 1
+    lin = spark.read.parquet(_lineage_path(out))
+    assert lin.count() == 4  # 1 legacy + 3 new shards
+    # max_by over the mixed files resolves (the __main__ totals path)
+    latest = lin.groupBy("shard_id").agg(
+        F.max_by(F.struct("docs"), F.col("finished_ts")).alias("s")
+    )
+    assert latest.count() == 4
+    assert done_shards(spark, out) == {0, 1, 2, 3}
