@@ -8,6 +8,8 @@ Usage (local or cluster — the module is self-contained for --py-files):
   python -m document_ai_spark validate --extracted DIR [--golden DIR]
   python -m document_ai_spark compact --table DIR [--target-mb N]
   python -m document_ai_spark blocks --input DIR --output DIR [--url U]
+  python -m document_ai_spark ingest --input DIR --output DIR --checkpoint DIR
+  python -m document_ai_spark curate --extracted DIR --output DIR
 """
 
 from __future__ import annotations
@@ -142,6 +144,59 @@ def cmd_blocks(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Streaming ingest: drain everything currently in the input dir
+    through the extraction kernel with exactly-once checkpointed file
+    progress (availableNow), then stop — the cron-style incremental-crawl
+    deployment."""
+    from document_ai_spark.streaming.ingest import stream_extract
+
+    spark = _spark(args)
+    q = stream_extract(
+        spark, args.input, args.output, args.checkpoint,
+        available_now=True,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination()
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"docs_total": n, "out_dir": args.output}))
+    return 0
+
+
+def cmd_curate(args) -> int:
+    """Training-data curation over an extracted table: exact-dedup keeper
+    AND quality gate AND Gopher rule pack over main_text -> kept docs
+    written out, per-stage funnel counts printed."""
+    from document_ai_spark.operators.curate import (
+        curation_flags,
+        funnel_counts,
+        kept_filter,
+    )
+
+    spark = _spark(args)
+    extracted = spark.read.parquet(args.extracted)
+    flags = curation_flags(
+        extracted, id_col="url", text_col="main_text", lang_col=None
+    )
+    rules = tuple(r.strip() for r in args.rules.split(",") if r.strip())
+    kept = kept_filter(flags, rules).select("url", "n_tokens")
+    kept_docs = extracted.join(kept.select("url"), "url", "left_semi")
+    kept_docs.write.mode("overwrite").parquet(args.output)
+    row = funnel_counts(flags).collect()[0]
+    print(json.dumps({
+        "rules": list(rules),
+        "written": spark.read.parquet(args.output).count(),
+        "total_docs": row.total_docs,
+        "after_dedup": row.after_dedup,
+        "after_quality": row.after_quality,
+        "after_gopher": row.after_gopher,
+        "kept": row.kept,
+        "kept_tokens": row.kept_tokens,
+        "out_dir": args.output,
+    }))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from pyspark.sql import functions as F
 
@@ -201,6 +256,27 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--output", required=True)
     b.add_argument("--url", default=None, help="restrict to one document")
     b.set_defaults(fn=cmd_blocks)
+
+    i = sub.add_parser("ingest", help="streaming ingest (availableNow drain)")
+    i.add_argument("--input", required=True,
+                   help="DIRECTORY of incoming page parquet files (the "
+                   "streaming file source tracks files, not a single file)")
+    i.add_argument("--output", required=True)
+    i.add_argument("--checkpoint", required=True)
+    i.add_argument("--max-files-per-trigger", type=int, default=None)
+    i.set_defaults(fn=cmd_ingest)
+
+    c = sub.add_parser("curate", help="dedup+quality+gopher funnel over an "
+                       "extracted table")
+    c.add_argument("--extracted", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument(
+        "--rules", default="dedup,quality,gopher",
+        help="comma list of keep rules (dedup,quality,gopher); the "
+        "synthetic corpus vocabulary is stopword-free by construction, so "
+        "gopher's stopword-evidence rule rejects it — drop it there",
+    )
+    c.set_defaults(fn=cmd_curate)
 
     v = sub.add_parser("validate", help="QA predicates + golden accuracy")
     v.add_argument("--extracted", required=True)

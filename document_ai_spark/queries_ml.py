@@ -1237,99 +1237,29 @@ FROM inj
 # --------------------------------------------------------------------------
 
 def _curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four stage flags computed in ONE scan of the documents table —
-    quality/gopher/lang flags are pure column expressions and the dedup
-    keeper is a single window over md5(text). Composing the four q_*
-    queries would re-scan the (100 TB) text column four times; the DuckDB
-    oracle composes them anyway (oracle scale is tiny) and hash-equality
-    proves this fused plan computes the same flags."""
-    from pyspark.sql.window import Window as W
+    """All four stage flags in ONE scan of the documents table (the shared
+    engine lives in operators/curate.py and also backs the `curate` CLI
+    over extracted tables). Composing the four q_* queries would re-scan
+    the (100 TB) text column four times; the DuckDB oracle composes them
+    anyway (oracle scale is tiny) and hash-equality proves the fused plan
+    computes the same flags."""
+    from .operators.curate import curation_flags
 
-    d = _t(spark, sf_dir, "documents")
-    words = _norm_words()
-    n_tokens = F.size(words).cast("long")
-    n_punct = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(r"([.,;:!?])"), F.lit(1))
-    )
-    pass_quality = (
-        (n_tokens >= 20) & (n_tokens <= 100000)
-        & (n_punct * 10 <= n_tokens * 3)
-    )
-    n_alpha = F.size(F.filter(words, lambda w: w.rlike("^[A-Za-z]+$")))
-    n_nonspace = F.length(F.regexp_replace("text", r"\s", ""))
-    mean_wl = n_nonspace.cast("double") / n_tokens
-    n_sym = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(r"([#@\[\]{}<>|~^])"),
-                             F.lit(1))
-    )
-    n_stop8 = F.size(
-        F.regexp_extract_all(
-            F.lower("text"),
-            F.lit(r"\b(the|be|to|of|and|that|have|with)\b"), F.lit(1),
-        )
-    )
-    pass_gopher = (
-        (n_tokens >= 50) & (mean_wl >= 3.0) & (mean_wl <= 10.0)
-        & (n_alpha * 10 >= n_tokens * 8) & (n_sym * 10 <= n_tokens)
-        & (n_stop8 >= 2)
-    )
-    low = F.lower(F.col("text"))
-    s = {
-        k: F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(1)))
-        for k, pat in _LANG_PATTERNS.items()
-    }
-    s_zh = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(r"([\x{4e00}-\x{9fff}])"),
-                             F.lit(1))
-    )
-    pred_lang = (
-        F.when(
-            (s_zh > s["en"]) & (s_zh > s["de"]) & (s_zh > s["fr"])
-            & (s_zh > s["es"]), "zh")
-        .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"])
-              & (s["en"] >= s["es"]), "en")
-        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
-        .when(s["fr"] >= s["es"], "fr")
-        .otherwise("es")
-    )
-    flags = d.select(
-        "doc_id",
-        F.md5(F.encode("text", "UTF-8")).alias("text_hash"),
-        n_tokens.alias("n_tokens"),
-        pass_quality.alias("pass_quality"),
-        pass_gopher.alias("pass_gopher"),
-        (pred_lang == F.col("lang")).alias("pass_lang"),
-    )
-    w = W.partitionBy("text_hash")
-    return flags.withColumn(
-        "pass_dedup", F.col("doc_id") == F.min("doc_id").over(w)
-    ).drop("text_hash")
+    return curation_flags(_t(spark, sf_dir, "documents"))
 
 
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f = _curation_flags(spark, sf_dir)
-    return (
-        f.filter("pass_dedup AND pass_quality AND pass_gopher AND pass_lang")
-        .select("doc_id", "n_tokens")
+    from .operators.curate import kept_filter
+
+    return kept_filter(_curation_flags(spark, sf_dir)).select(
+        "doc_id", "n_tokens"
     )
 
 
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f = _curation_flags(spark, sf_dir)
-    kept = (
-        F.col("pass_dedup") & F.col("pass_quality") & F.col("pass_gopher")
-        & F.col("pass_lang")
-    )
-    return f.agg(
-        F.count(F.lit(1)).alias("total_docs"),
-        F.sum(F.col("pass_dedup").cast("long")).alias("after_dedup"),
-        F.sum((F.col("pass_dedup") & F.col("pass_quality")).cast("long"))
-        .alias("after_quality"),
-        F.sum((F.col("pass_dedup") & F.col("pass_quality")
-               & F.col("pass_gopher")).cast("long")).alias("after_gopher"),
-        F.sum(kept.cast("long")).alias("kept"),
-        F.sum(F.when(kept, F.col("n_tokens"))).alias("kept_tokens"),
-    )
+    from .operators.curate import funnel_counts
+
+    return funnel_counts(_curation_flags(spark, sf_dir))
 
 
 def _sql_curation_flags() -> str:

@@ -124,3 +124,33 @@ def test_winnow_fingerprint_properties(spark):
     overlap = len(set(a) & set(c)) / len(set(a))
     assert overlap > 0.4
     assert fps("short") == []
+
+
+def test_curate_rules_selection(spark):
+    """kept_filter applies exactly the selected rules and skips rules whose
+    flag column is absent (lang without ground truth)."""
+    from document_ai_spark.operators.curate import (
+        curation_flags,
+        funnel_counts,
+        kept_filter,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the data and the words flow to the end of it " * 6),
+            (2, "the data and the words flow to the end of it " * 6),  # dup
+            (3, "short text"),
+        ],
+        ["doc_id", "text"],
+    )
+    flags = curation_flags(df, lang_col=None)
+    assert "pass_lang" not in flags.columns
+    all_kept = {r.doc_id for r in kept_filter(flags).collect()}
+    assert all_kept == {1}  # dup dropped, short doc fails quality/gopher
+    dq = {r.doc_id
+          for r in kept_filter(flags, ("dedup", "quality")).collect()}
+    assert dq == {1}
+    d_only = {r.doc_id for r in kept_filter(flags, ("dedup",)).collect()}
+    assert d_only == {1, 3}
+    row = funnel_counts(flags).collect()[0]
+    assert (row.total_docs, row.after_dedup, row.kept) == (3, 2, 1)
