@@ -132,6 +132,18 @@ partial+final HashAggregate pass on doc_id — the shuffle carries 64 longs
 per document, not per token. The round-1 per-row/per-token Python md5
 loop is gone.
 """,
+        "## curation_funnel — single-scan multi-rule curation\n",
+        "```\n" + plan(M.q_curation_funnel(spark, sf),
+                       keep=["ReadSchema"]) + "\n```\n",
+        """**Scale notes.** All four stage flags (dedup keeper, quality,
+Gopher pack, language-ID agreement) come from ONE scan of the documents
+table — composing the four standalone queries would re-read the 100 TB
+text column four times. The only shuffle is the window for the exact-dedup
+keeper (hash-partition on md5(text), uniform key); the funnel counts are a
+single partial+final aggregate on top. The same engine
+(operators/curate.py) runs against freshly extracted tables via the
+`curate` CLI.
+""",
         "## interval_union — window cumulative-max grouping\n",
         "```\n" + plan(Q.q_interval_union(spark, sf)) + "\n```\n",
         """**Scale notes.** One Exchange on user_id feeds both window
