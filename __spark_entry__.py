@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": M.q_fingerprint,
         "top_terms": M.q_top_terms,
         "char_entropy": M.q_char_entropy,
+        "dup_ngram_ratio": M.q_dup_ngram_ratio,
+        "ann_lsh_recall": M.q_ann_lsh_recall,
         "quality_gopher": M.q_quality_gopher,
         "pii_scrub": M.q_pii_scrub,
         "training_mix": M.q_training_mix,
@@ -144,6 +146,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": M.SQL_FINGERPRINT,
         "top_terms": M.SQL_TOP_TERMS,
         "char_entropy": M.SQL_CHAR_ENTROPY,
+        "dup_ngram_ratio": M.SQL_DUP_NGRAM_RATIO,
+        "ann_lsh_recall": M.SQL_ANN_LSH_RECALL,
         "quality_gopher": M.SQL_QUALITY_GOPHER,
         "pii_scrub": M.SQL_PII_SCRUB,
         "training_mix": M.SQL_TRAINING_MIX,

@@ -1296,3 +1296,101 @@ SELECT COUNT(*) AS total_docs,
            AS kept_tokens
 FROM ({_sql_curation_flags()})
 """
+
+
+# --------------------------------------------------------------------------
+# Within-document repetition signal (MassiveText-style repetition filter):
+# fraction of duplicated word 3-grams per doc. High ratio = boilerplate /
+# generated spam. Pure column expressions on the shared shingle builder.
+# --------------------------------------------------------------------------
+
+def q_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sh = d.withColumn("words", _norm_words()).select(
+        "doc_id", _shingles(F.col("words")).alias("sh")
+    )
+    n = F.size("sh")
+    n_uniq = F.size(F.array_distinct("sh"))
+    return sh.select(
+        "doc_id",
+        n.cast("long").alias("n_ngrams"),
+        F.round(
+            F.when(n > 0, (n - n_uniq).cast("double") / n).otherwise(0.0), 6
+        ).alias("dup_ratio"),
+        ((n > 0) & ((n - n_uniq) * 10 > n * 3)).alias("repetitive"),
+    )
+
+
+SQL_DUP_NGRAM_RATIO = f"""
+WITH sh AS (SELECT doc_id, {_SQL_SHINGLES_FROM_WORDS} AS sh
+            FROM ({_SQL_WORDS_CTE}))
+SELECT doc_id,
+       CAST(len(sh) AS BIGINT) AS n_ngrams,
+       round(CASE WHEN len(sh) > 0
+             THEN CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh)
+             ELSE 0.0 END, 6) AS dup_ratio,
+       len(sh) > 0 AND (len(sh) - len(list_distinct(sh))) * 10 > len(sh) * 3
+           AS repetitive
+FROM sh
+"""
+
+
+# --------------------------------------------------------------------------
+# ANN self-evaluation: recall@k of the multiprobe LSH candidate search (the
+# probe's bucket + its Hamming-1 neighbors) vs the
+# exact brute-force top-k — the metric a deployment watches when tuning
+# N_PLANES / probe radius. On the driver's synthetic embeddings the
+# absolute number is data-limited: uniform random vectors have no angular
+# clusters (the "nearest" neighbors sit at cosine ~0.3-0.5), so no
+# hyperplane family localizes them — the value of this query is that the
+# whole evaluation loop is relational and hash-checked, not the recall
+# itself; both sides are relational, so the whole
+# evaluation is oracle-checked.
+# --------------------------------------------------------------------------
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    brute = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    buckets = q_ann_lsh_buckets(spark, sf_dir)
+    probe_bucket = buckets.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("probe_bucket")
+    )
+    # multiprobe: candidates within Hamming distance <= 1 of the probe's
+    # bucket (probe the bucket + its N_PLANES single-bit neighbors) —
+    # standard LSH recall lever, no extra index
+    cand = (
+        buckets.crossJoin(F.broadcast(probe_bucket))
+        .filter(
+            (F.bit_count(
+                F.col("bucket").bitwiseXOR(F.col("probe_bucket"))) <= 1)
+            & (F.col("vec_id") != 0)
+        )
+        .select("vec_id")
+    )
+    hit = brute.join(cand, "vec_id", "left_semi")
+    return brute.agg(
+        F.count(F.lit(1)).alias("k"),
+    ).crossJoin(
+        hit.agg(F.count(F.lit(1)).alias("hits"))
+    ).select(
+        "k", "hits",
+        F.round(F.col("hits").cast("double") / F.col("k"), 6).alias(
+            "recall"
+        ),
+    )
+
+
+SQL_ANN_LSH_RECALL = f"""
+WITH brute AS (SELECT vec_id FROM ({SQL_ANN_COSINE_TOPK})),
+buckets AS ({SQL_ANN_LSH_BUCKETS}),
+cand AS (
+  SELECT b.vec_id FROM buckets b,
+       (SELECT bucket AS probe_bucket FROM buckets WHERE vec_id = 0) p
+  WHERE bit_count(xor(b.bucket, p.probe_bucket)) <= 1 AND b.vec_id <> 0)
+SELECT (SELECT COUNT(*) FROM brute) AS k,
+       (SELECT COUNT(*) FROM brute WHERE vec_id IN (SELECT vec_id
+                                                    FROM cand)) AS hits,
+       round(CAST((SELECT COUNT(*) FROM brute
+                   WHERE vec_id IN (SELECT vec_id FROM cand)) AS DOUBLE)
+             / (SELECT COUNT(*) FROM brute), 6) AS recall
+"""
