@@ -1302,7 +1302,14 @@ FROM ({_sql_curation_flags()})
 # Within-document repetition signal (MassiveText-style repetition filter):
 # fraction of duplicated word 3-grams per doc. High ratio = boilerplate /
 # generated spam. Pure column expressions on the shared shingle builder.
+# REP_THRESHOLD is a deployment parameter (MassiveText flags at ~0.2+);
+# the default is 0.01 because the driver's synthetic docs top out near
+# 0.04-0.08 dup ratio — a 0.3 flag would pass vacuously on zero flagged
+# docs (27-287 docs flag at 0.01 across SFs).
 # --------------------------------------------------------------------------
+
+REP_THRESHOLD = 0.01
+
 
 def q_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -1317,7 +1324,9 @@ def q_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.when(n > 0, (n - n_uniq).cast("double") / n).otherwise(0.0), 6
         ).alias("dup_ratio"),
-        ((n > 0) & ((n - n_uniq) * 10 > n * 3)).alias("repetitive"),
+        ((n > 0)
+         & ((n - n_uniq).cast("double") > n * REP_THRESHOLD))
+        .alias("repetitive"),
     )
 
 
@@ -1329,7 +1338,8 @@ SELECT doc_id,
        round(CASE WHEN len(sh) > 0
              THEN CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh)
              ELSE 0.0 END, 6) AS dup_ratio,
-       len(sh) > 0 AND (len(sh) - len(list_distinct(sh))) * 10 > len(sh) * 3
+       len(sh) > 0 AND CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE)
+                       > len(sh) * {REP_THRESHOLD}
            AS repetitive
 FROM sh
 """
