@@ -68,14 +68,22 @@ _SQL_SHINGLES_FROM_WORDS = """
 
 
 # --------------------------------------------------------------------------
-# Exact dedup: md5-hash groupBy, keeper = min doc_id per hash
+# Exact dedup: md5-hash groupBy, keeper = min doc_id per hash.
+# The driver's synthetic corpus contains no duplicate texts, so every 50th
+# document gets a deterministic clone (doc_id + 1000000) injected INSIDE
+# the query — otherwise is_keeper would be uniformly true and the keeper
+# logic would pass vacuously (the round-1 near-dups lesson).
 # --------------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     from pyspark.sql.window import Window as W
 
-    h = d.withColumn("text_hash", F.md5(F.encode("text", "UTF-8")))
+    clones = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    aug = d.unionAll(clones)
+    h = aug.withColumn("text_hash", F.md5(F.encode("text", "UTF-8")))
     w = W.partitionBy("text_hash")
     return h.withColumn(
         "is_keeper", F.col("doc_id") == F.min("doc_id").over(w)
@@ -83,9 +91,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_EXACT = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0)
 SELECT doc_id, md5(text) AS text_hash,
        doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
-FROM documents
+FROM aug
 """
 
 
