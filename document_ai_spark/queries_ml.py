@@ -148,15 +148,20 @@ FROM ({_sql_minhash_core()})
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket."""
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Bands come from ONE posexplode over the signature row — a 4-way union
+    of per-band selects re-plans the whole signature computation per
+    branch per join side (8 scans of the corpus, measured); the explode
+    form computes signatures once per side and the self-join's identical
+    shuffle children are deduplicated by ReuseExchange."""
     sig = q_minhash_signatures(spark, sf_dir)
-    bands = None
-    for b in range(N_BANDS):
-        part = sig.select(
-            "doc_id", F.lit(b).alias("band_no"),
-            F.col(f"band_{b}").alias("band_key"),
-        )
-        bands = part if bands is None else bands.union(part)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])
+        ).alias("band_no", "band_key"),
+    )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_no", "band_key"
     )
@@ -807,23 +812,27 @@ _KV_KEYS = ["spark", "window", "batch"]
 
 def q_next_word_after_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    # Spark's regexp_extract needs a foldable pattern -> one branch per key,
-    # unioned (3 keys; Catalyst still reads the table once per branch but
-    # pushes the projection)
-    parts = None
-    for key in _KV_KEYS:
-        nxt = F.regexp_extract(
-            F.col("text"), rf"\b{key}\s+([a-z]+)", 1
-        )
-        part = d.select(
-            "doc_id",
-            F.lit(key).alias("key"),
-            F.when(nxt == "", F.lit("<NOT_FOUND>")).otherwise(nxt).alias(
-                "next_word"
-            ),
-        )
-        parts = part if parts is None else parts.unionAll(part)
-    return parts
+    # Spark's regexp_extract needs a foldable pattern -> one extract column
+    # per key in a SINGLE projection, then stack() to rows (a per-key union
+    # re-scans the table once per key — 3 scans of the corpus, measured)
+    extracts = [
+        F.regexp_extract(F.col("text"), rf"\b{key}\s+([a-z]+)", 1)
+        .alias(f"v{i}")
+        for i, key in enumerate(_KV_KEYS)
+    ]
+    wide = d.select("doc_id", *extracts)
+    stack_args = ", ".join(
+        f"'{key}', v{i}" for i, key in enumerate(_KV_KEYS)
+    )
+    tall = wide.select(
+        "doc_id",
+        F.expr(f"stack({len(_KV_KEYS)}, {stack_args}) AS (key, v)"),
+    )
+    return tall.select(
+        "doc_id", "key",
+        F.when(F.col("v") == "", F.lit("<NOT_FOUND>"))
+        .otherwise(F.col("v")).alias("next_word"),
+    )
 
 
 SQL_NEXT_WORD_AFTER_KEY = r"""
