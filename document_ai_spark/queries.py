@@ -864,17 +864,21 @@ QUALIFY row_number() OVER (PARTITION BY p_partkey
 # --------------------------------------------------------------------------
 
 def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
+    # ONE lineitem scan: the per-part total is a window sum over the
+    # per-(part,supplier) aggregate — a second groupBy would re-scan the
+    # fact table (measured 3 scans before)
     per_ps = l.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("ps_qty")
     )
-    per_p = l.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum("l_quantity").alias("p_qty")
+    per_ps = per_ps.withColumn(
+        "p_qty", F.sum("ps_qty").over(W.partitionBy("l_partkey"))
     )
     dom = (
-        per_ps.join(per_p, per_ps.l_partkey == per_p.pk)
-        .filter(F.col("ps_qty") * 5 > F.col("p_qty"))
+        per_ps.filter(F.col("ps_qty") * 5 > F.col("p_qty"))
         .select("l_suppkey")
         .distinct()
     )

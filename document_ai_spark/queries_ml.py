@@ -521,11 +521,40 @@ SQL_ANN_LSH_BUCKETS = (
 # filter — same output shape as q_embedding_near_dups but no label oracle.
 # --------------------------------------------------------------------------
 
+def _bucket_col(emb_col: F.Column) -> F.Column:
+    """The LSH bucket as a pure column expression — identical integer math
+    to _ann_bucket_batches (quantize, integer planes, sign bits) but with
+    no Python UDF and no join back to the embeddings, so a self-join side
+    costs ONE scan. Exact-integer arithmetic keeps it equal to the numpy
+    path bit for bit."""
+    q = F.transform(
+        emb_col, lambda x: F.round(x.cast("double") * _Q_SCALE).cast("long")
+    )
+    bucket = F.lit(0)
+    for pl in range(N_PLANES):
+        dot = F.aggregate(
+            F.transform(
+                q,
+                lambda x, i: x * (
+                    (F.lit(pl * _PLANE_A) + i * _PLANE_B) % _PLANE_MOD
+                    - _PLANE_OFF
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << pl)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
 def q_embedding_near_dups_lsh(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    b = q_ann_lsh_buckets(spark, sf_dir)
-    eb = e.join(b, "vec_id")
+    # bucket as a column expression (one scan per join side) — joining the
+    # mapInPandas bucket table back to embeddings doubled every side's scan
+    eb = e.select(
+        "vec_id", "embedding", _bucket_col(F.col("embedding")).alias("bucket")
+    )
     a = eb.select(F.col("vec_id").alias("id_a"), "bucket",
                   F.col("embedding").alias("emb_a"))
     bb = eb.select(F.col("vec_id").alias("id_b"),
@@ -1382,7 +1411,9 @@ FROM sh
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     brute = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
-    buckets = q_ann_lsh_buckets(spark, sf_dir)
+    buckets = e.select(
+        "vec_id", _bucket_col(F.col("embedding")).alias("bucket")
+    )  # column-expression buckets: one scan per use, no UDF round-trip
     probe_bucket = buckets.filter(F.col("vec_id") == 0).select(
         F.col("bucket").alias("probe_bucket")
     )

@@ -62,13 +62,13 @@ def q_best_config_per_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_tokens_pass"),
     )
-    melted = None
-    for m in METRICS:
-        part = log.select(
-            F.lit(m).alias("metric"), F.col(m).alias("value"),
-            "config_id", "min_tok", "max_p",
-        )
-        melted = part if melted is None else melted.unionAll(part)
+    # melt via stack(): a per-metric union re-plans the whole sweep
+    # aggregation (and its corpus scan) once per metric
+    stack_args = ", ".join(f"'{m}', {m}" for m in METRICS)
+    melted = log.select(
+        F.expr(f"stack({len(METRICS)}, {stack_args}) AS (metric, value)"),
+        "config_id", "min_tok", "max_p",
+    )
     win = W.partitionBy("metric").orderBy(
         F.col("value").desc(), F.col("config_id")
     )
@@ -149,13 +149,13 @@ def q_best_config_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit(0.0)), 6,
         ).alias("mean_tokens_pass"),
     )
-    melted = None
-    for m in ("pass_rate", "mean_tokens_pass"):
-        part = log.select(
-            "lang", F.lit(m).alias("metric"), F.col(m).alias("value"),
-            "config_id", "min_tok", "max_p",
-        )
-        melted = part if melted is None else melted.unionAll(part)
+    ms = ("pass_rate", "mean_tokens_pass")
+    stack_args = ", ".join(f"'{m}', {m}" for m in ms)
+    melted = log.select(
+        "lang",
+        F.expr(f"stack({len(ms)}, {stack_args}) AS (metric, value)"),
+        "config_id", "min_tok", "max_p",
+    )
     win = W.partitionBy("lang", "metric").orderBy(
         F.col("value").desc(), F.col("config_id")
     )
