@@ -7,6 +7,9 @@
    or composed sub-query that re-plans a big-table scan per branch is a
    100 TB bottleneck invisible at fixture scale (the round-2
    minhash_lsh_pairs lesson: 8 scans).
+3. SCALAR OUTPUTS: the driver's canonicalizer sorts pandas frames — an
+   array/map/struct output column crashes it (the round-1
+   winnow_fingerprint failure). Every query must emit scalar columns.
 
 Usage: python scripts/audit_queries.py [--sf-dir DIR] [--max-scans N]
 Exit 1 if any zero-row oracle or any query above --max-scans that is not
@@ -78,7 +81,18 @@ def main() -> int:
 
     spark = get_spark(app_name="audit", master="local[4]",
                       shuffle_partitions=4)
+    from pyspark.sql import types as T
+
     for name, fn in sorted(e.queries().items()):
+        schema = fn(spark, args.sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType,
+                                       T.StructType)):
+                problems.append(
+                    f"{name}: non-scalar output column {f.name} "
+                    f"({f.dataType.simpleString()}) breaks the driver "
+                    "canonicalizer"
+                )
         plan = (
             fn(spark, args.sf_dir)
             ._jdf.queryExecution().executedPlan().toString()
