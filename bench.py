@@ -385,7 +385,10 @@ def steady_state(corpus: str) -> dict:
     amortized rate the cluster actually sustains."""
     import shutil
 
-    from document_ai_spark.operators.extraction import extract_pages
+    from document_ai_spark.operators.extraction import (
+        capped_scan_splits,
+        extract_pages,
+    )
     from document_ai_spark.session import get_spark
 
     spark = get_spark(app_name="steady", master=f"local[{CPUS}]",
@@ -394,12 +397,13 @@ def steady_state(corpus: str) -> dict:
     n = pages.count()
     tdir = tempfile.mkdtemp(prefix="das_steady_")
     trials = []
-    for t_i in range(2):
-        dst = os.path.join(tdir, f"t{t_i}")
-        t0 = time.time()
-        extract_pages(pages).write.mode("overwrite").parquet(dst)
-        trials.append(round(n / (time.time() - t0), 1))
-        shutil.rmtree(dst, ignore_errors=True)
+    with capped_scan_splits(spark):
+        for t_i in range(2):
+            dst = os.path.join(tdir, f"t{t_i}")
+            t0 = time.time()
+            extract_pages(pages).write.mode("overwrite").parquet(dst)
+            trials.append(round(n / (time.time() - t0), 1))
+            shutil.rmtree(dst, ignore_errors=True)
     spark.stop()
     shutil.rmtree(tdir, ignore_errors=True)
     return {

@@ -142,8 +142,16 @@ def tokenize_blocks(text: str) -> list[Block]:
 
         close_name, open_name, _attrs, self_close = m.group(1, 2, 3, 4)
         # the greedy attrs group swallows the "/" of "<a/>": a trailing
-        # slash in attrs is the self-close marker
-        if open_name is not None and not self_close and _attrs.endswith("/"):
+        # slash in attrs is the self-close marker — but only when it is a
+        # standalone token (start-of-attrs, or after whitespace/quote).
+        # An unquoted attribute value ending in '/' (href=http://x.com/)
+        # is NOT a self-close.
+        if (
+            open_name is not None
+            and not self_close
+            and _attrs.endswith("/")
+            and re.search(r"(^|[\s\"'])/$", _attrs)
+        ):
             self_close = "/"
 
         if open_name is not None:

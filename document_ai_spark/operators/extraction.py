@@ -22,6 +22,8 @@ Scale design:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -168,6 +170,37 @@ def size_aware_partitions(pages: DataFrame) -> int:
     return max(4 * parallelism, by_size)
 
 
+@contextmanager
+def capped_scan_splits(spark):
+    """Temporarily cap `spark.sql.files.maxPartitionBytes` so FilePartition
+    packing cannot merge small row groups into oversized tasks (disk bytes x
+    compression ~= raw html per task <= TARGET_PARTITION_BYTES), restoring
+    the previous value on exit. Action sites (run_extraction_job, bench,
+    the extract CLI) wrap their jobs in this so the cap never leaks into
+    unrelated queries on the same session — Spark reads the conf at scan
+    execution, so a lazy extract_pages() DataFrame must be *executed*
+    inside this context for the cap to apply."""
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    spark.conf.set(
+        key, str(TARGET_PARTITION_BYTES // PARQUET_COMPRESSION_FACTOR)
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def _packing_bounded(spark) -> bool:
+    """True when the session's current maxPartitionBytes keeps split
+    packing under TARGET_PARTITION_BYTES of raw html per task."""
+    try:
+        cap = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        return False
+    return cap * PARQUET_COMPRESSION_FACTOR <= TARGET_PARTITION_BYTES
+
+
 def splits_bound_skew(pages: DataFrame) -> bool:
     """True when the input's parquet row-group structure already bounds
     per-task raw bytes, so byte-proportional compute skew is handled by
@@ -206,7 +239,15 @@ def splits_bound_skew(pages: DataFrame) -> bool:
     except Exception:
         return False
     parallelism = pages.sparkSession.sparkContext.defaultParallelism
-    return max_rg <= TARGET_PARTITION_BYTES and n_rg >= 2 * parallelism
+    return (
+        max_rg <= TARGET_PARTITION_BYTES
+        and n_rg >= 2 * parallelism
+        # split packing can merge small row groups back into oversized
+        # tasks unless the session's maxPartitionBytes is capped — callers
+        # opt in via capped_scan_splits() around the job (no session-wide
+        # conf mutation here; an uncapped session takes the salted path)
+        and _packing_bounded(pages.sparkSession)
+    )
 
 
 def extract_pages(
@@ -225,15 +266,10 @@ def extract_pages(
         generated evenly-sized input).
     """
     if salted == "auto":
+        # unsalted only when row-group structure bounds per-task bytes AND
+        # the session's split-packing cap is already in place (see
+        # capped_scan_splits) — never mutates session conf itself
         salted = not splits_bound_skew(pages)
-        if not salted:
-            # cap scan split size so FilePartition packing cannot merge
-            # small row groups back into oversized tasks: disk bytes *
-            # compression ~= raw html per task <= TARGET_PARTITION_BYTES
-            pages.sparkSession.conf.set(
-                "spark.sql.files.maxPartitionBytes",
-                str(TARGET_PARTITION_BYTES // PARQUET_COMPRESSION_FACTOR),
-            )
     cols = pages.select("url", "warc_ts", "html")  # prune before Arrow
     if salted:
         # size-aware salt count: >=4x overpartitioning (giant pages are
@@ -265,6 +301,7 @@ def _block_batches(batches):
 
     from ..kernel.charset import decode_html
     from ..kernel.classify import classify_blocks
+    from ..kernel.extract import MAX_HTML_BYTES
     from ..kernel.tokenizer import tokenize_blocks
 
     for b in batches:
@@ -275,6 +312,11 @@ def _block_batches(batches):
             if raw is None or raw.startswith(b"%PDF-"):
                 continue
             try:
+                # same truncation guard as kernel/extract.py: the debug
+                # surface must describe what production classified, and
+                # tokenize cost must stay bounded on multi-MB pages
+                if len(raw) > MAX_HTML_BYTES:
+                    raw = raw[:MAX_HTML_BYTES]
                 text, _cs = decode_html(raw)
                 blocks = tokenize_blocks(text)
                 flags = classify_blocks(blocks)

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.io import append_rows, write_extracted
-from .extraction import extract_pages
+from .extraction import capped_scan_splits, extract_pages
 
 LINEAGE_SUBDIR = "_lineage"
 
@@ -55,9 +55,12 @@ def _append_lineage_rows(spark, rows, schema, path: str) -> None:
     file written directly from the driver (atomic visibility via the same
     write-then-visible file semantics the FileOutputCommitter gives) — a
     full Spark job for <=shards_per_commit rows costs ~2 s of scheduler
-    overhead per commit for no benefit. Iceberg targets (no '/') still go
-    through the snapshot-append path."""
-    if "/" not in path:
+    overhead per commit for no benefit. Iceberg targets (no '/') and remote
+    filesystem URIs (hdfs://, s3a://, ...) go through the Spark writer —
+    the driver-direct pyarrow fast path only works on the local FS."""
+    from urllib.parse import urlparse
+
+    if "/" not in path or urlparse(path).scheme != "":
         append_rows(spark.createDataFrame(rows, schema=schema), path)
         return
     import os
@@ -119,6 +122,16 @@ def run_extraction_job(
             print(f"[lineage] {msg} +{time.time()-t:.1f}s", file=_sys.stderr)
 
     _t_run = time.time()
+    with capped_scan_splits(spark):
+        _run_chunks(
+            spark, sharded, todo, n_shards, shards_per_commit, out_dir,
+            run_id, num_partitions, total, _mark, _t_run,
+        )
+    return total
+
+
+def _run_chunks(spark, sharded, todo, n_shards, shards_per_commit, out_dir,
+                run_id, num_partitions, total, _mark, _t_run) -> None:
     for c0 in range(0, len(todo), shards_per_commit):
         chunk = todo[c0 : c0 + shards_per_commit]
         started = time.time()
@@ -166,7 +179,6 @@ def run_extraction_job(
         total["chunks"] += 1
         total["docs"] += sum(r.docs for r in lin_rows)
         _mark(f"chunk {chunk} lineage appended", _t_run)
-    return total
 
 
 def resume_filter(pages: DataFrame, extracted_dir: str) -> DataFrame:

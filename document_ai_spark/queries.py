@@ -767,9 +767,10 @@ WHERE l_quantity < 0.5 * (
 # --------------------------------------------------------------------------
 # Native session_window sessionization (Spark's built-in stateful window in
 # batch mode) cross-checked against the classic gap-island SQL form.
-# Spark semantics: an event extends the open session while ts < last + gap
-# (strictly), so the oracle starts a new session when diff >= gap — note
-# the deliberate difference from q_user_sessions' lag form (diff > gap).
+# Spark semantics (probed empirically at the exact boundary, r3): an event
+# at exactly last + gap still MERGES into the open session — windows
+# [ts, ts+gap) merge when next.start <= current.end — so the oracle starts
+# a new session only when diff > gap, same as q_user_sessions' lag form.
 # --------------------------------------------------------------------------
 
 def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -796,16 +797,20 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SESSION_WINDOW_AGG = f"""
 WITH marked AS (
-  SELECT user_id, epoch_us(ts) AS ts_us,
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                      >= {SESSION_GAP_US}
+                      > {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 islands AS (
+  -- cumulative-sum order must repeat the marked CTE's (ts, event_id)
+  -- tiebreak: with duplicate timestamps at a gap boundary, ordering by
+  -- ts_us alone can assign the tied row to the wrong session
   SELECT user_id, ts_us,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_no
   FROM marked)
 SELECT user_id, MIN(ts_us) AS session_start_us,

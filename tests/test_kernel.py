@@ -225,6 +225,24 @@ def test_tokenize_self_closing_anchor_not_link_text():
     assert blocks[0].link_text_len == 0
 
 
+def test_tokenize_unquoted_attr_trailing_slash_not_self_close():
+    # <a href=https://example.com/> — the trailing '/' belongs to the
+    # unquoted HTML5 attribute value, NOT a self-close marker: the anchor
+    # opens and its text must count as link text (ADVICE r2)
+    blocks = tokenize_blocks(
+        f"<p><a href=https://example.com/>{LONG}</a></p>"
+    )
+    assert blocks[0].link_text_len == len(LONG)
+
+
+def test_tokenize_standalone_trailing_slash_still_self_closes():
+    # '<a href="x" />' and '<a/>' keep self-close semantics: the slash is
+    # a standalone token (preceded by whitespace/quote or alone)
+    for frag in (f'<p><a href="x" />{LONG}</p>', f'<p><a href="x"/>{LONG}</p>'):
+        blocks = tokenize_blocks(frag)
+        assert blocks[0].link_text_len == 0, frag
+
+
 def test_tokenize_unclosed_anchor_resets_at_block_boundary():
     # an unclosed <a> must not mark every later block as pure link text
     blocks = tokenize_blocks(f"<p><a href='x'>here</p><p>{LONG}</p>")
