@@ -37,25 +37,31 @@ SCALE_CORES = tuple(
     int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8,32").split(",")
 )
 
+# r3 registry consolidation renames (BENCH_r02 comparability):
+# user_sessions -> sessionize (now ALSO runs the native session_window
+# form), lang_id + token_count -> text_metrics (one scan, all text
+# metrics), best_config_per_metric -> best_config (adds the by-lang
+# sections in the same pass); curation_funnel added (now includes the
+# MinHash/LSH cluster-keeper stage).
 HEADLINE = [
     "extract_article",
     "extract_validate",
     "pricing_summary",
     "region_revenue",
     "top_order_per_customer",
-    "user_sessions",
+    "sessionize",
     "asof_last_view",
     "running_value",
     "dedup_exact",
     "minhash_signatures",
     "ngram_jaccard_probe",
     "ann_cosine_topk",
-    "lang_id",
-    "token_count",
+    "text_metrics",
     "simhash",
     "winnow_fingerprint",
     "next_right_word_2d",
-    "best_config_per_metric",
+    "best_config",
+    "curation_funnel",
 ]
 
 

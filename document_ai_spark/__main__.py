@@ -171,6 +171,7 @@ def cmd_curate(args) -> int:
         curation_flags,
         funnel_counts,
         kept_filter,
+        neardup_keeper_flags,
     )
 
     spark = _spark(args)
@@ -179,11 +180,19 @@ def cmd_curate(args) -> int:
         extracted, id_col="url", text_col="main_text", lang_col=None
     )
     rules = tuple(r.strip() for r in args.rules.split(",") if r.strip())
+    if "neardup" in rules:
+        # fuzzy-dedup stage: MinHash/LSH cluster keepers (r3)
+        flags = flags.join(
+            neardup_keeper_flags(
+                extracted, id_col="url", text_col="main_text"
+            ),
+            "url",
+        )
     kept = kept_filter(flags, rules).select("url", "n_tokens")
     kept_docs = extracted.join(kept.select("url"), "url", "left_semi")
     kept_docs.write.mode("overwrite").parquet(args.output)
     row = funnel_counts(flags).collect()[0]
-    print(json.dumps({
+    out = {
         "rules": list(rules),
         "written": spark.read.parquet(args.output).count(),
         "total_docs": row.total_docs,
@@ -193,7 +202,10 @@ def cmd_curate(args) -> int:
         "kept": row.kept,
         "kept_tokens": row.kept_tokens,
         "out_dir": args.output,
-    }))
+    }
+    if "neardup" in rules:
+        out["after_neardup"] = row.after_neardup
+    print(json.dumps(out))
     return 0
 
 
@@ -272,7 +284,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--output", required=True)
     c.add_argument(
         "--rules", default="dedup,quality,gopher",
-        help="comma list of keep rules (dedup,quality,gopher); the "
+        help="comma list of keep rules (dedup,neardup,quality,gopher); "
+        "neardup adds the MinHash/LSH cluster-keeper stage; the "
         "synthetic corpus vocabulary is stopword-free by construction, so "
         "gopher's stopword-evidence rule rejects it — drop it there",
     )

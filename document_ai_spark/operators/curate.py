@@ -96,7 +96,74 @@ def curation_flags(
     ).drop("_text_hash")
 
 
-ALL_RULES = ("dedup", "quality", "gopher", "lang")
+def neardup_keeper_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Fuzzy-dedup stage (r3): MinHash signatures -> LSH band buckets ->
+    candidate pairs -> connected components -> keeper = min id per cluster.
+    Returns (id, pass_neardup) for EVERY input row (docs in no cluster
+    pass). Production funnels dedup fuzzily, not just exactly — this is
+    the cluster-keeper composition as a funnel stage.
+
+    Scale shape: the bucketed band self-join is the only pair generator
+    (never all-pairs); components converge in O(log diameter) rounds of
+    hash joins (operators/similarity.connected_components)."""
+    from ..queries_base import _norm_words, _shingles
+    from .similarity import dedup_clusters
+
+    ids = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    sh = (
+        ids.withColumn("words", _norm_words("_t"))
+        .select("_id", F.explode(_shingles(F.col("words"))).alias("shingle"))
+        .distinct()
+    )
+    aggs = [
+        F.min(
+            F.md5(
+                F.encode(F.concat_ws(":", F.lit(str(j)), "shingle"), "UTF-8")
+            )
+        ).alias(f"mh_{j}")
+        for j in range(n_hashes)
+    ]
+    sig = sh.groupBy("_id").agg(*aggs)
+    bands = sig.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(F.col(f"mh_{2 * b}"), F.col(f"mh_{2 * b + 1}"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_no", "band_key"),
+    )
+    a = bands.select(F.col("_id").alias("doc_a"), "band_no", "band_key")
+    b2 = bands.select(F.col("_id").alias("doc_b"), "band_no", "band_key")
+    pairs = (
+        a.join(b2, ["band_no", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    clusters = dedup_clusters(pairs)
+    nd = clusters.select(
+        F.col("doc_id").alias("_id"), F.col("is_keeper")
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(nd, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("is_keeper", F.lit(True)).alias("pass_neardup"),
+        )
+    )
+
+
+ALL_RULES = ("dedup", "neardup", "quality", "gopher", "lang")
 
 
 def kept_filter(
@@ -113,17 +180,26 @@ def kept_filter(
 
 
 def funnel_counts(flags: DataFrame) -> DataFrame:
-    """One aggregation row: survivors at each stage + kept token total."""
+    """One aggregation row: survivors at each stage + kept token total.
+    Stage order: exact dedup -> near-dup cluster keeper (when the
+    pass_neardup column is present) -> quality -> gopher -> language."""
+    has_nd = "pass_neardup" in flags.columns
     has_lang = "pass_lang" in flags.columns
-    after_gopher = (
-        F.col("pass_dedup") & F.col("pass_quality") & F.col("pass_gopher")
+    after_dedup = F.col("pass_dedup")
+    after_nd = (
+        after_dedup & F.col("pass_neardup") if has_nd else after_dedup
     )
+    after_quality = after_nd & F.col("pass_quality")
+    after_gopher = after_quality & F.col("pass_gopher")
     kept = after_gopher & F.col("pass_lang") if has_lang else after_gopher
     aggs = [
         F.count(F.lit(1)).alias("total_docs"),
-        F.sum(F.col("pass_dedup").cast("long")).alias("after_dedup"),
-        F.sum((F.col("pass_dedup") & F.col("pass_quality")).cast("long"))
-        .alias("after_quality"),
+        F.sum(after_dedup.cast("long")).alias("after_dedup"),
+    ]
+    if has_nd:
+        aggs.append(F.sum(after_nd.cast("long")).alias("after_neardup"))
+    aggs += [
+        F.sum(after_quality.cast("long")).alias("after_quality"),
         F.sum(after_gopher.cast("long")).alias("after_gopher"),
         F.sum(kept.cast("long")).alias("kept"),
         F.sum(F.when(kept, F.col("n_tokens"))).alias("kept_tokens"),

@@ -633,16 +633,38 @@ FROM orders GROUP BY o_orderpriority
 
 # --------------------------------------------------------------------------
 # Engine addition (SURVEY.md §2.4 note): approximate distinct for dedup QA
-# at 10^12 scale — HLL sketch vs exact, per group. Rows-only driver check
-# (approximate results have no cross-engine oracle).
+# at 10^12 scale — HLL sketch vs exact, per group. Oracle-checkable (r3):
+# the exact column is plain SQL; the sketch has no cross-engine twin, so
+# it is gated as a BOUNDED-ERROR flag — the Spark side asserts
+# |approx - exact| <= 5% * exact (rsd=0.01 -> ~5 sigma headroom) and the
+# oracle emits literal TRUE, so a drifting sketch hash-fails the driver
+# row instead of passing vacuously.
 # --------------------------------------------------------------------------
+
+APPROX_DISTINCT_REL_ERR = 0.05
+
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.col("exact_users") * APPROX_DISTINCT_REL_ERR
+        ).alias("approx_within_5pct"),
+    )
+
+
+SQL_APPROX_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+"""
 
 # --------------------------------------------------------------------------
 # §2.8 X7 analog — interval union (merge overlapping spans/boxes): flag a

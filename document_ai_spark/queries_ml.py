@@ -609,16 +609,140 @@ SELECT id_a, id_b, cosine FROM cand WHERE cosine > {NEAR_DUP_COS}
 
 
 # --------------------------------------------------------------------------
-# Scale-path similarity (rows-only driver checks: KMeans / iterative CC)
+# IVF approximate top-k, deterministic coarse quantizer (r3: was KMeans and
+# rows-only — VERDICT item 4 asked for an oracle). Lists come from 4
+# integer hyperplanes (16 lists, same exact-integer formula as the LSH
+# buckets); centroids are per-list integer SUM vectors (order-independent,
+# so Spark's parallel sum and DuckDB's sequential sum agree bit for bit);
+# the probe ranks lists by rounded cosine-to-centroid, searches the
+# IVF_NPROBE best lists, and re-ranks exactly. The whole index-build +
+# probe + re-rank pipeline is relational — the KMeans-fit variant
+# (operators/similarity.ivf_topk) stays as the learned-quantizer option,
+# pytest-covered by recall + bounded-fit tests.
 # --------------------------------------------------------------------------
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k vs probe vec 0 (coarse KMeans quantizer +
-    nprobe nearest lists — the 10^12-scale ANN path)."""
-    from .operators.similarity import ivf_topk
+N_IVF_PLANES = 4  # 2^4 = 16 inverted lists
+IVF_NPROBE = 6
+IVF_K = 10
 
+
+def _ivf_list_col(emb_col: F.Column) -> F.Column:
+    """Coarse list id from the first N_IVF_PLANES integer hyperplanes —
+    identical arithmetic to _bucket_col, fewer planes."""
+    q = F.transform(
+        emb_col, lambda x: F.round(x.cast("double") * _Q_SCALE).cast("long")
+    )
+    list_id = F.lit(0)
+    for pl in range(N_IVF_PLANES):
+        dot = F.aggregate(
+            F.transform(
+                q,
+                lambda x, i: x * (
+                    (F.lit(pl * _PLANE_A) + i * _PLANE_B) % _PLANE_MOD
+                    - _PLANE_OFF
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        list_id = list_id + F.when(dot > 0, F.lit(1 << pl)).otherwise(
+            F.lit(0)
+        )
+    return list_id.cast("int")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k vs probe vec 0: deterministic hyperplane
+    coarse quantizer + integer-sum centroids + nprobe list search + exact
+    re-rank — the 10^12-scale ANN path, fully oracle-checkable."""
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(e, probe_vec_id=0, k=10)
+    eq = e.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _Q_SCALE).cast("long"),
+        ).alias("vq"),
+        _ivf_list_col(F.col("embedding")).alias("list_id"),
+    )
+    # index build: exact integer centroid-sum per (list, dimension)
+    pos = eq.select("list_id", F.posexplode("vq").alias("pos", "qv"))
+    cent = pos.groupBy("list_id", "pos").agg(F.sum("qv").alias("s"))
+    ppos = eq.filter(F.col("vec_id") == 0).select(
+        F.posexplode("vq").alias("pos", "pv")
+    )
+    scored = (
+        cent.join(F.broadcast(ppos), "pos")
+        .groupBy("list_id")
+        .agg(
+            F.sum(F.col("s") * F.col("pv")).alias("dot_qs"),
+            F.sum(F.col("s") * F.col("s")).alias("ss"),
+            F.sum(F.col("pv") * F.col("pv")).alias("qq"),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                F.col("dot_qs") / (F.sqrt("ss") * F.sqrt("qq")), 6
+            ),
+        )
+    )
+    top_lists = (
+        scored.orderBy(F.col("score").desc(), "list_id")
+        .limit(IVF_NPROBE)
+        .select("list_id")
+    )
+    cand = eq.join(F.broadcast(top_lists), "list_id").filter(
+        F.col("vec_id") != 0
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    cos = _cosine_to_probe(cand.select("vec_id", "embedding"), probe)
+    return cos.orderBy(F.col("cosine").desc(), "vec_id").limit(IVF_K)
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH eq AS (
+  SELECT vec_id, embedding,
+         list_transform(range(1, len(embedding) + 1),
+                        d -> CAST(round(embedding[d] * {_Q_SCALE}) AS BIGINT))
+             AS vq,
+         CAST({" + ".join(
+             f"CASE WHEN {_sql_plane_dot(p)} > 0 THEN {1 << p} ELSE 0 END"
+             for p in range(N_IVF_PLANES)
+         )} AS INT) AS list_id
+  FROM embeddings),
+pos AS (
+  SELECT list_id, unnest(range(1, len(vq) + 1)) AS pos, unnest(vq) AS qv
+  FROM eq),
+cent AS (SELECT list_id, pos, SUM(qv) AS s FROM pos GROUP BY list_id, pos),
+ppos AS (
+  SELECT unnest(range(1, len(vq) + 1)) AS pos, unnest(vq) AS pv
+  FROM eq WHERE vec_id = 0),
+scored AS (
+  SELECT list_id,
+         round(CAST(SUM(s * pv) AS DOUBLE)
+               / (sqrt(CAST(SUM(s * s) AS DOUBLE))
+                  * sqrt(CAST(SUM(pv * pv) AS DOUBLE))), 6) AS score
+  FROM cent JOIN ppos USING (pos) GROUP BY list_id),
+top_lists AS (SELECT list_id FROM scored
+              ORDER BY score DESC, list_id LIMIT {IVF_NPROBE}),
+cand AS (SELECT vec_id, embedding FROM eq
+         JOIN top_lists USING (list_id) WHERE vec_id <> 0),
+probe AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(
+         list_sum(list_transform(list_zip(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(probe_vec, x -> CAST(x AS DOUBLE))),
+           p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(probe_vec,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+FROM cand, probe
+ORDER BY cosine DESC, vec_id LIMIT {IVF_K}
+"""
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,15 +813,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four stage flags in ONE scan of the documents table (the shared
-    engine lives in operators/curate.py and also backs the `curate` CLI
-    over extracted tables). Composing the four q_* queries would re-scan
-    the (100 TB) text column four times; the DuckDB oracle composes them
-    anyway (oracle scale is tiny) and hash-equality proves the fused plan
-    computes the same flags."""
-    from .operators.curate import curation_flags
+    """All column-expression stage flags in ONE scan of the documents table
+    (the shared engine lives in operators/curate.py and also backs the
+    `curate` CLI over extracted tables), joined with the near-dup
+    cluster-keeper stage (r3: MinHash/LSH pairs -> connected components —
+    production funnels dedup fuzzily, not just exactly). Composing the
+    per-flag q_* queries would re-scan the (100 TB) text column once per
+    flag; the DuckDB oracle composes them anyway (oracle scale is tiny)
+    and hash-equality proves the fused plan computes the same flags."""
+    from .operators.curate import curation_flags, neardup_keeper_flags
 
-    return curation_flags(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents")
+    return curation_flags(d).join(neardup_keeper_flags(d), "doc_id")
 
 
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,8 +843,8 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_curation_flags() -> str:
     return f"""
-  SELECT d.doc_id, d.pass_dedup, q.pass_quality, q.n_tokens,
-         g.pass_gopher, l.pass_lang
+  SELECT d.doc_id, d.pass_dedup, COALESCE(c.is_keeper, TRUE) AS pass_neardup,
+         q.pass_quality, q.n_tokens, g.pass_gopher, l.pass_lang
   FROM (SELECT doc_id, is_keeper AS pass_dedup
         FROM ({SQL_DEDUP_EXACT})) d
   JOIN (SELECT doc_id, quality_ok AS pass_quality, n_tokens
@@ -726,26 +853,31 @@ def _sql_curation_flags() -> str:
         FROM ({SQL_QUALITY_GOPHER})) g ON d.doc_id = g.doc_id
   JOIN (SELECT doc_id, pred_lang = lang AS pass_lang
         FROM ({SQL_LANG_ID})) l ON d.doc_id = l.doc_id
+  LEFT JOIN ({SQL_DEDUP_CLUSTERS}) c ON d.doc_id = c.doc_id
 """
 
 
 SQL_TRAINING_MIX = f"""
 SELECT doc_id, n_tokens FROM ({_sql_curation_flags()})
-WHERE pass_dedup AND pass_quality AND pass_gopher AND pass_lang
+WHERE pass_dedup AND pass_neardup AND pass_quality AND pass_gopher
+  AND pass_lang
 """
 
 SQL_CURATION_FUNNEL = f"""
 SELECT COUNT(*) AS total_docs,
        CAST(SUM(CAST(pass_dedup AS INT)) AS BIGINT) AS after_dedup,
-       CAST(SUM(CAST(pass_dedup AND pass_quality AS INT)) AS BIGINT)
-           AS after_quality,
-       CAST(SUM(CAST(pass_dedup AND pass_quality AND pass_gopher AS INT))
-            AS BIGINT) AS after_gopher,
-       CAST(SUM(CAST(pass_dedup AND pass_quality AND pass_gopher
-                     AND pass_lang AS INT)) AS BIGINT) AS kept,
-       CAST(SUM(CASE WHEN pass_dedup AND pass_quality AND pass_gopher
-                     AND pass_lang THEN n_tokens END) AS BIGINT)
-           AS kept_tokens
+       CAST(SUM(CAST(pass_dedup AND pass_neardup AS INT)) AS BIGINT)
+           AS after_neardup,
+       CAST(SUM(CAST(pass_dedup AND pass_neardup AND pass_quality AS INT))
+            AS BIGINT) AS after_quality,
+       CAST(SUM(CAST(pass_dedup AND pass_neardup AND pass_quality
+                     AND pass_gopher AS INT)) AS BIGINT) AS after_gopher,
+       CAST(SUM(CAST(pass_dedup AND pass_neardup AND pass_quality
+                     AND pass_gopher AND pass_lang AS INT)) AS BIGINT)
+           AS kept,
+       CAST(SUM(CASE WHEN pass_dedup AND pass_neardup AND pass_quality
+                     AND pass_gopher AND pass_lang THEN n_tokens END)
+            AS BIGINT) AS kept_tokens
 FROM ({_sql_curation_flags()})
 """
 

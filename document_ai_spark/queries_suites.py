@@ -1,0 +1,497 @@
+"""Consolidated driver-gate queries (round 3).
+
+The driver's correctness gate records at most ~50 registry entries; round 2
+shipped 63 queries, leaving the newest 13 without a driver row (VERDICT r2
+item 1). This module merges trivially-overlapping demos into suite queries
+so every operator lands inside the window WITHOUT losing verification:
+each suite is a tagged union (or single-scan widening) of the original
+queries, and the DuckDB oracle applies the identical normalization to the
+original oracle SQLs — the per-branch value hashes still gate each
+underlying operator.
+
+The original per-operator functions stay exported from their modules (API
+surface + focused pytest use); only the registry entries are consolidated.
+
+Merges:
+  - relational_demo_suite: 8 small relational demos (set-collect, pivot,
+    distinct agg, correlated subquery, set algebra, semi/anti gate, top-k
+    by distance, window-share dominant keys) normalized to
+    (section, k, v_num, v_str) rows.
+  - text_metrics: lang-ID + quality score + token counts + repetition
+    ratio as ONE corpus scan (strictly better than 4 scans at 100 TB —
+    all are column expressions over the same normalized `words` array).
+  - best_config: the tuning sweep's global and by-lang sections from ONE
+    GROUPING SETS aggregation (was two full corpus sweeps).
+  - embedding_near_dup_pairs: label-blocked baseline + LSH-bucketed scale
+    path, method-tagged.
+  - sessionize: lag-form per-user rollup + native session_window
+    per-session rows, form-tagged (the two forms cross-check each other).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .queries import (
+    SQL_COLLECT_STATUSES,
+    SQL_DISTINCT_SUPPLIERS,
+    SQL_DOMINANT_SUPPLIERS,
+    SQL_NEAREST_PRICE_PARTS,
+    SQL_PIVOT_ORDER_STATUS,
+    SQL_SEMI_ANTI_GATE,
+    SQL_SESSION_WINDOW_AGG,
+    SQL_SETOPS_CUSTOMERS,
+    SQL_SMALL_QUANTITY_REVENUE,
+    SQL_USER_SESSIONS,
+    _t,
+    q_collect_statuses,
+    q_distinct_suppliers,
+    q_dominant_suppliers,
+    q_nearest_price_parts,
+    q_pivot_order_status,
+    q_semi_anti_gate,
+    q_session_window_agg,
+    q_setops_customers,
+    q_small_quantity_revenue,
+    q_user_sessions,
+)
+from .queries_base import _norm_words, _shingles, _SQL_SHINGLES_FROM_WORDS, _SQL_WORDS
+from .queries_ml import (
+    SQL_EMBEDDING_NEAR_DUPS,
+    SQL_EMBEDDING_NEAR_DUPS_LSH,
+    q_embedding_near_dups,
+    q_embedding_near_dups_lsh,
+)
+from .queries_text import _LANG_PATTERNS, REP_THRESHOLD
+from .queries_tuning import N_CONFIGS
+
+# --------------------------------------------------------------------------
+# Relational demo suite — 8 small demos, one tagged union.
+# --------------------------------------------------------------------------
+
+
+def q_relational_demo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of 8 relational demos normalized to (section, k, v_num,
+    v_str). Each branch is the unchanged original query (operator identity
+    preserved — e.g. the pivot branch still runs a real pivot), only the
+    output is normalized for the shared schema."""
+
+    def tag(name: str) -> F.Column:
+        return F.lit(name).alias("section")
+
+    cs = q_collect_statuses(spark, sf_dir).select(
+        tag("collect_statuses"),
+        F.col("o_orderpriority").alias("k"),
+        F.col("n").cast("double").alias("v_num"),
+        F.col("statuses").alias("v_str"),
+    )
+    pv = q_pivot_order_status(spark, sf_dir).select(
+        tag("pivot_order_status"),
+        F.col("o_orderpriority").alias("k"),
+        (F.col("n_f") + F.col("n_o") + F.col("n_p"))
+        .cast("double")
+        .alias("v_num"),
+        F.concat_ws(",", "n_f", "n_o", "n_p").alias("v_str"),
+    )
+    ds = q_distinct_suppliers(spark, sf_dir).select(
+        tag("distinct_suppliers"),
+        F.col("l_returnflag").alias("k"),
+        F.col("n_suppliers").cast("double").alias("v_num"),
+        F.col("n_parts").cast("string").alias("v_str"),
+    )
+    sq = q_small_quantity_revenue(spark, sf_dir).select(
+        tag("small_quantity_revenue"),
+        F.lit("total").alias("k"),
+        F.col("total_price").alias("v_num"),
+        F.col("n_items").cast("string").alias("v_str"),
+    )
+    so = q_setops_customers(spark, sf_dir).select(
+        tag("setops_customers"),
+        F.col("c_custkey").cast("string").alias("k"),
+        F.col("c_custkey").cast("double").alias("v_num"),
+        F.lit("").alias("v_str"),
+    )
+    sa = q_semi_anti_gate(spark, sf_dir).select(
+        tag("semi_anti_gate"),
+        F.col("c_mktsegment").alias("k"),
+        F.col("n_customers").cast("double").alias("v_num"),
+        F.lit("").alias("v_str"),
+    )
+    np_ = q_nearest_price_parts(spark, sf_dir).select(
+        tag("nearest_price_parts"),
+        F.col("p_partkey").cast("string").alias("k"),
+        F.col("dist").alias("v_num"),
+        F.lit("").alias("v_str"),
+    )
+    do = q_dominant_suppliers(spark, sf_dir).select(
+        tag("dominant_suppliers"),
+        F.col("s_suppkey").cast("string").alias("k"),
+        F.col("s_suppkey").cast("double").alias("v_num"),
+        F.col("s_name").alias("v_str"),
+    )
+    out = cs
+    for branch in (pv, ds, sq, so, sa, np_, do):
+        out = out.unionByName(branch)
+    return out
+
+
+SQL_RELATIONAL_DEMO_SUITE = f"""
+SELECT 'collect_statuses' AS section, o_orderpriority AS k,
+       CAST(n AS DOUBLE) AS v_num, statuses AS v_str
+FROM ({SQL_COLLECT_STATUSES})
+UNION ALL
+SELECT 'pivot_order_status', o_orderpriority,
+       CAST(n_f + n_o + n_p AS DOUBLE), concat_ws(',', n_f, n_o, n_p)
+FROM ({SQL_PIVOT_ORDER_STATUS})
+UNION ALL
+SELECT 'distinct_suppliers', l_returnflag, CAST(n_suppliers AS DOUBLE),
+       CAST(n_parts AS VARCHAR)
+FROM ({SQL_DISTINCT_SUPPLIERS})
+UNION ALL
+SELECT 'small_quantity_revenue', 'total', total_price,
+       CAST(n_items AS VARCHAR)
+FROM ({SQL_SMALL_QUANTITY_REVENUE})
+UNION ALL
+SELECT 'setops_customers', CAST(c_custkey AS VARCHAR),
+       CAST(c_custkey AS DOUBLE), ''
+FROM ({SQL_SETOPS_CUSTOMERS})
+UNION ALL
+SELECT 'semi_anti_gate', c_mktsegment, CAST(n_customers AS DOUBLE), ''
+FROM ({SQL_SEMI_ANTI_GATE})
+UNION ALL
+SELECT 'nearest_price_parts', CAST(p_partkey AS VARCHAR), dist, ''
+FROM ({SQL_NEAREST_PRICE_PARTS})
+UNION ALL
+SELECT 'dominant_suppliers', CAST(s_suppkey AS VARCHAR),
+       CAST(s_suppkey AS DOUBLE), s_name
+FROM ({SQL_DOMINANT_SUPPLIERS})
+"""
+
+
+# --------------------------------------------------------------------------
+# Text metrics — lang-ID, quality, token counts, repetition in ONE scan.
+# --------------------------------------------------------------------------
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang_id + quality_score + token_count + dup_ngram_ratio widened
+    into one documents scan: every metric is a column expression over the
+    same materialized `words` array (the separate queries each re-scanned
+    the corpus — this is the plan you'd actually run at 100 TB)."""
+    d = _t(spark, sf_dir, "documents").withColumn("words", _norm_words())
+    low = F.lower(F.col("text"))
+    scores = [
+        F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(1)))
+        .cast("long")
+        .alias(f"s_{k}")
+        for k, pat in _LANG_PATTERNS.items()
+    ]
+    zh = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"([\x{4e00}-\x{9fff}])"), F.lit(1)
+        )
+    ).cast("long")
+    base = d.select(
+        "doc_id",
+        "lang",
+        *scores,
+        zh.alias("s_zh"),
+        F.size("words").cast("long").alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"([.,;:!?])"), F.lit(1))
+        ).cast("long").alias("n_punct"),
+        F.size(
+            F.regexp_extract_all(
+                low, F.lit(r"\b(the|a|of|and|to|in|is)\b"), F.lit(1)
+            )
+        ).cast("long").alias("n_stopwords"),
+        F.length(F.regexp_replace("text", r"\s", "")).cast("long").alias(
+            "n_nonspace"
+        ),
+        F.size(
+            F.regexp_extract_all(
+                low, F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), F.lit(1)
+            )
+        ).cast("long").alias("bpe_tokens"),
+        _shingles(F.col("words")).alias("sh"),
+    )
+    best = (
+        F.when(
+            (F.col("s_zh") > F.col("s_en"))
+            & (F.col("s_zh") > F.col("s_de"))
+            & (F.col("s_zh") > F.col("s_fr"))
+            & (F.col("s_zh") > F.col("s_es")),
+            "zh",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es")),
+            "en",
+        )
+        .when(
+            (F.col("s_de") >= F.col("s_fr"))
+            & (F.col("s_de") >= F.col("s_es")),
+            "de",
+        )
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    n_sh = F.size("sh")
+    n_dup = n_sh - F.size(F.array_distinct("sh"))
+    return base.select(
+        "doc_id",
+        "lang",
+        "s_en",
+        "s_de",
+        "s_fr",
+        "s_es",
+        "s_zh",
+        best.alias("pred_lang"),
+        "n_tokens",
+        "n_punct",
+        "n_stopwords",
+        F.round(
+            F.col("n_stopwords").cast("double") / F.col("n_tokens"), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.col("n_nonspace").cast("double") / F.col("n_tokens"), 6
+        ).alias("avg_word_len"),
+        (
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_tokens") <= 100000)
+            & (F.col("n_punct") * 10 <= F.col("n_tokens") * 3)
+        ).alias("quality_ok"),
+        "bpe_tokens",
+        n_sh.cast("long").alias("n_ngrams"),
+        F.round(
+            F.when(n_sh > 0, n_dup.cast("double") / n_sh).otherwise(0.0), 6
+        ).alias("dup_ratio"),
+        ((n_sh > 0) & (n_dup.cast("double") > n_sh * REP_THRESHOLD)).alias(
+            "repetitive"
+        ),
+    )
+
+
+SQL_TEXT_METRICS = rf"""
+WITH b AS (
+  SELECT doc_id, lang, text, {_SQL_WORDS} AS words FROM documents),
+s AS (
+  SELECT doc_id, lang,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b', 1))
+        AS s_en,
+    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht)\b', 1))
+        AS s_de,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une)\b', 1))
+        AS s_fr,
+    len(regexp_extract_all(lower(text), '\b(el|los|que|de|una|por)\b', 1))
+        AS s_es,
+    len(regexp_extract_all(text, '([\x{{4e00}}-\x{{9fff}}])', 1)) AS s_zh,
+    len(words) AS n_tokens,
+    len(regexp_extract_all(text, '([.,;:!?])', 1)) AS n_punct,
+    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b', 1))
+        AS n_stopwords,
+    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+    len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])', 1))
+        AS bpe_tokens,
+    {_SQL_SHINGLES_FROM_WORDS} AS sh
+  FROM b)
+SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
+  CASE
+    WHEN s_zh > s_en AND s_zh > s_de AND s_zh > s_fr AND s_zh > s_es THEN 'zh'
+    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+    WHEN s_fr >= s_es THEN 'fr'
+    ELSE 'es' END AS pred_lang,
+  n_tokens, n_punct, n_stopwords,
+  round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+  round(CAST(n_nonspace AS DOUBLE) / n_tokens, 6) AS avg_word_len,
+  n_tokens >= 20 AND n_tokens <= 100000 AND n_punct * 10 <= n_tokens * 3
+      AS quality_ok,
+  bpe_tokens,
+  CAST(len(sh) AS BIGINT) AS n_ngrams,
+  round(CASE WHEN len(sh) > 0
+        THEN CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh)
+        ELSE 0.0 END, 6) AS dup_ratio,
+  len(sh) > 0 AND CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE)
+                  > len(sh) * {REP_THRESHOLD}
+      AS repetitive
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Best config — global + by-lang sweep sections from ONE aggregation.
+# --------------------------------------------------------------------------
+
+
+def q_best_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """best_config_per_metric + best_config_by_lang merged: the sweep log
+    is aggregated once with GROUPING SETS ((lang, cfg), (cfg)) — the ()
+    section is the old global query (lang='ALL'), the (lang) sections the
+    old by-lang query — then melted and ranked per (lang, metric). One
+    corpus pass instead of two."""
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(_norm_words()).cast("long")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"([.,;:!?])"), F.lit(1))
+    ).cast("long")
+    base = d.select(
+        "lang", n_tokens.alias("n_tokens"), n_punct.alias("n_punct")
+    )
+    grid = F.broadcast(
+        spark.range(N_CONFIGS).select(
+            F.col("id").cast("int").alias("config_id"),
+            (5 + (F.col("id") * 17) % 60).cast("int").alias("min_tok"),
+            (1 + (F.col("id") * 5) % 7).cast("int").alias("max_p"),
+        )
+    )
+    j = base.crossJoin(grid)
+    cfg_pass = (F.col("n_tokens") >= F.col("min_tok")) & (
+        F.col("n_punct") * 10 <= F.col("n_tokens") * F.col("max_p")
+    )
+    frozen_pass = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 100000)
+        & (F.col("n_punct") * 10 <= F.col("n_tokens") * 3)
+    )
+    j.withColumn("cfg_pass", cfg_pass).withColumn(
+        "frozen_pass", frozen_pass
+    ).createOrReplaceTempView("_cfg_sweep_all")
+    log = spark.sql(
+        """
+        SELECT COALESCE(lang, 'ALL') AS lang, config_id, min_tok, max_p,
+               round(avg(CAST(cfg_pass AS INT)), 6) AS pass_rate,
+               round(avg(CAST(cfg_pass = frozen_pass AS INT)), 6)
+                   AS agree_rate,
+               round(coalesce(
+                   avg(CASE WHEN cfg_pass THEN n_tokens END), 0.0), 6)
+                   AS mean_tokens_pass
+        FROM _cfg_sweep_all
+        GROUP BY GROUPING SETS ((lang, config_id, min_tok, max_p),
+                                (config_id, min_tok, max_p))
+        """
+    )
+    metrics = ["pass_rate", "agree_rate", "mean_tokens_pass"]
+    stack_args = ", ".join(f"'{m}', {m}" for m in metrics)
+    melted = log.select(
+        "lang",
+        F.expr(f"stack({len(metrics)}, {stack_args}) AS (metric, value)"),
+        "config_id",
+        "min_tok",
+        "max_p",
+    )
+    win = W.partitionBy("lang", "metric").orderBy(
+        F.col("value").desc(), F.col("config_id")
+    )
+    return (
+        melted.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("lang", "metric", "value", "config_id", "min_tok", "max_p")
+    )
+
+
+SQL_BEST_CONFIG = rf"""
+WITH base AS (
+  SELECT lang,
+         len({_SQL_WORDS}) AS n_tokens,
+         len(regexp_extract_all(text, '([.,;:!?])', 1)) AS n_punct
+  FROM documents),
+grid AS (
+  SELECT CAST(i AS INT) AS config_id,
+         CAST(5 + (i * 17) % 60 AS INT) AS min_tok,
+         CAST(1 + (i * 5) % 7 AS INT) AS max_p
+  FROM (SELECT unnest(range(0, {N_CONFIGS})) AS i)),
+j AS (
+  SELECT *,
+         n_tokens >= min_tok AND n_punct * 10 <= n_tokens * max_p
+             AS cfg_pass,
+         n_tokens >= 20 AND n_tokens <= 100000
+             AND n_punct * 10 <= n_tokens * 3 AS frozen_pass
+  FROM base, grid),
+log AS (
+  SELECT COALESCE(lang, 'ALL') AS lang, config_id, min_tok, max_p,
+         round(avg(CAST(cfg_pass AS INT)), 6) AS pass_rate,
+         round(avg(CAST(cfg_pass = frozen_pass AS INT)), 6) AS agree_rate,
+         round(COALESCE(avg(n_tokens) FILTER (cfg_pass), 0.0), 6)
+             AS mean_tokens_pass
+  FROM j
+  GROUP BY GROUPING SETS ((lang, config_id, min_tok, max_p),
+                          (config_id, min_tok, max_p))),
+melted AS (
+  SELECT lang, 'pass_rate' AS metric, pass_rate AS value,
+         config_id, min_tok, max_p FROM log
+  UNION ALL
+  SELECT lang, 'agree_rate', agree_rate, config_id, min_tok, max_p FROM log
+  UNION ALL
+  SELECT lang, 'mean_tokens_pass', mean_tokens_pass, config_id, min_tok,
+         max_p FROM log)
+SELECT lang, metric, value, config_id, min_tok, max_p
+FROM melted
+QUALIFY row_number() OVER (PARTITION BY lang, metric
+                           ORDER BY value DESC, config_id) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dups — baseline + LSH scale path, method-tagged.
+# --------------------------------------------------------------------------
+
+
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocked = q_embedding_near_dups(spark, sf_dir).select(
+        F.lit("label_block").alias("method"), "id_a", "id_b", "cosine"
+    )
+    lsh = q_embedding_near_dups_lsh(spark, sf_dir).select(
+        F.lit("lsh_bucket").alias("method"), "id_a", "id_b", "cosine"
+    )
+    return blocked.unionByName(lsh)
+
+
+SQL_EMBEDDING_NEAR_DUP_PAIRS = f"""
+SELECT 'label_block' AS method, id_a, id_b, cosine
+FROM ({SQL_EMBEDDING_NEAR_DUPS})
+UNION ALL
+SELECT 'lsh_bucket', id_a, id_b, cosine
+FROM ({SQL_EMBEDDING_NEAR_DUPS_LSH})
+"""
+
+
+# --------------------------------------------------------------------------
+# Sessionize — lag-form per-user rollup + native session_window rows.
+# --------------------------------------------------------------------------
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two sessionization forms, form-tagged on a shared schema:
+    per_user rows are (n_events, n_sessions, 0) from the lag/gap-island
+    form; per_session rows are (start_us, end_us, n_events) from Spark's
+    native session_window. Both gated by the same oracle."""
+    lag = q_user_sessions(spark, sf_dir).select(
+        F.lit("per_user").alias("form"),
+        "user_id",
+        F.col("n_events").cast("long").alias("v1"),
+        F.col("n_sessions").cast("long").alias("v2"),
+        F.lit(0).cast("long").alias("v3"),
+    )
+    native = q_session_window_agg(spark, sf_dir).select(
+        F.lit("per_session").alias("form"),
+        "user_id",
+        F.col("session_start_us").alias("v1"),
+        F.col("session_end_us").alias("v2"),
+        F.col("n_events").cast("long").alias("v3"),
+    )
+    return lag.unionByName(native)
+
+
+SQL_SESSIONIZE = f"""
+SELECT 'per_user' AS form, user_id, CAST(n_events AS BIGINT) AS v1,
+       CAST(n_sessions AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3
+FROM ({SQL_USER_SESSIONS})
+UNION ALL
+SELECT 'per_session', user_id, session_start_us, session_end_us,
+       CAST(n_events AS BIGINT)
+FROM ({SQL_SESSION_WINDOW_AGG})
+"""

@@ -30,12 +30,25 @@ from scripts.check_oracle import TABLES  # noqa: E402
 # semantics where each branch IS the operator
 SCAN_ALLOWLIST = {
     "region_revenue": 5,        # 5 different tables
-    "semi_anti_gate": 3,        # semi + anti branches over orders
-    "setops_customers": 3,      # U1/U2 set ops are the point
     "next_right_word_2d": 4,    # relational form; fused kernel is 1-scan
     "fuzzy_key_next_right": 4,  # same
     "ann_lsh_recall": 6,        # brute reused twice (hit-join + k count)
                                 # + 2 bucket sides; sample-scale eval query
+    "ann_ivf_topk": 4,          # index build (centroids) composed with the
+                                # probe in ONE query for the oracle; in
+                                # production the inverted lists + centroid
+                                # sums are materialized once, probes scan
+                                # only nprobe lists
+    "embedding_near_dup_pairs": 4,  # tagged union of the baseline (2
+                                # scans) and LSH (2 scans) variants — each
+                                # branch is already scan-minimal
+    "relational_demo_suite": 14,  # driver-window consolidation: 8 demo
+                                # branches over SMALL dims (orders/
+                                # customer/part/supplier); each branch IS
+                                # its operator (set ops alone are 3 scans)
+                                # and branches were scan-audited before the
+                                # merge — never co-run at corpus scale
+    "sessionize": 2,            # two sessionization forms over events
 }
 
 # constant-flag columns that are constant BY CONSTRUCTION: these queries'
