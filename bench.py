@@ -93,14 +93,18 @@ def _gen_corpus_shard(args) -> str:
     )
     path = os.path.join(out_dir, f"pages_{shard:02d}.parquet")
     # small row groups keep the files splittable — one giant row group per
-    # file caps scan parallelism at n_files
-    pq.write_table(tbl, path, row_group_size=4096)
+    # file caps scan parallelism at n_files. 512 rows ~ 3-4 MB raw html
+    # per group: 8 groups/shard -> 256 groups total, enough granularity
+    # for splits_bound_skew's n_rg >= 2*parallelism test at local[32]
+    # (4096 rows/group = 1 group/file = 32 total failed it, silently
+    # forcing the salted path at the widest width)
+    pq.write_table(tbl, path, row_group_size=512)
     return path
 
 
 def ensure_corpus(n_docs: int) -> str:
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"das_bench_corpus_v4_{n_docs}"
+        tempfile.gettempdir(), f"das_bench_corpus_v5_{n_docs}"
     )
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
@@ -371,6 +375,45 @@ def write_baseline_md(scaling: dict, mp: dict, queries: dict,
         "limiter; each scaling run pins the whole JVM+python tree to "
         "exactly N cores.",
         "",
+        "### Adaptive salting: both layouts, both paths",
+        "",
+        "`extract_pages(salted='auto')` skips the full-payload salt "
+        "shuffle only when parquet row-group structure bounds per-task "
+        "bytes. Measured on the bench layout (many small row groups) AND "
+        "a pathological twin (one row group per file, giant pages "
+        "clustered by an adversarial size sort):",
+        "",
+        "| layout | auto salts? | unsalted docs/s | salted docs/s |",
+        "|---|---|---|---|",
+    ] + [
+        (
+            f"| {lay} | {scaling.get('salting_pathology', {}).get(f'{lay}_auto_salts')} "
+            f"| {scaling.get('salting_pathology', {}).get(f'{lay}_unsalted')} "
+            f"| {scaling.get('salting_pathology', {}).get(f'{lay}_salted')} |"
+        )
+        for lay in ("bench_layout", "pathological")
+    ] + [
+        "",
+        "### Constant-factor root cause (r3 measurement note)",
+        "",
+        "Round 2 framed the Spark-vs-multiprocessing gap as a '2.5x "
+        "Arrow-path constant factor' and blamed the `to_pylist()` copy. "
+        "Round-3 stage-level profiling (pinned 8-core interleaved A/Bs, "
+        "16k-doc corpus) refutes that: `to_pylist` is 1.7% of the python "
+        "batch loop and every python-side cost outside the kernel "
+        "(fragment copy, span assembly, Arrow re-batch) totals ~7%. The "
+        "decomposition: kernel ~280-340 us/doc single-thread (regex-loop "
+        "bound — micro-opts beyond the r3 ones are <5%); the MP control "
+        "itself only scales to ~40% of single-thread x8 on 8 pinned cores "
+        "(memory bandwidth + neighbors), so the honest per-core ceiling "
+        "under load is ~1.2-1.9k docs/s, not 2.9k; Spark's noop-sink "
+        "pipeline reaches ~74% of the MP control at the same width (JVM "
+        "scan ~34 us/doc + Arrow IPC + scheduler share the pinned cores); "
+        "the parquet write costs a further 10-16%, roughly halved by "
+        "switching the output codec snappy -> zstd (now the session "
+        "default; zstd also compresses text outputs better, the right "
+        "trade at 100 TB).",
+        "",
         f"## Headline queries @ {sf} (local[{CPUS}])",
         "",
         "| query | seconds |",
@@ -418,6 +461,97 @@ def steady_state(corpus: str) -> dict:
     }
 
 
+def salting_pathology(corpus: str) -> dict:
+    """VERDICT r2 item 7: prove the adaptive-salting decision on BOTH
+    layouts. The bench corpus (many small row groups) takes the unsalted
+    path; a pathological layout — ONE row group per file, giant pages
+    clustered by an adversarial sort — cannot bound per-task bytes with
+    scan splits, so `salted='auto'` must fall back to the salt shuffle and
+    the salted plan must beat the unsalted one there. Reports measured
+    docs/s for both paths on both layouts plus what 'auto' resolves to."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_ai_spark.operators.extraction import (
+        capped_scan_splits,
+        extract_pages,
+        splits_bound_skew,
+    )
+    from document_ai_spark.session import get_spark
+
+    # Pathological twin: a splittable base slice of the bench corpus PLUS
+    # one file holding 48 ~3 MB giant pages in a SINGLE row group — the
+    # layout a crawler dump produces when giants cluster. Scan splits
+    # cannot subdivide that row group, so without salting one task eats
+    # every giant sequentially while the rest of the cluster idles.
+    patho = tempfile.mkdtemp(prefix="das_patho_")
+    # 10 shards x 8 row groups = 80 groups: enough for the unsalted path's
+    # n_rg >= 2*parallelism granularity test at local[32]
+    src_files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))[:10]
+    base = pa.concat_tables(pq.read_table(f) for f in src_files)
+    body = None
+    for i in range(base.num_rows):
+        h = base["html"][i].as_py()
+        if h is not None and not h.startswith(b"%PDF-") and len(h) > 2000:
+            body = h
+            break
+    reps = max(1, (3 * 1024 * 1024) // len(body))
+    # each giant must be UNIQUE: identical payloads dictionary-encode to
+    # one entry, making the parquet footer's total_byte_size (the raw-size
+    # signal splits_bound_skew reads) wildly under-report the row group
+    giant_html = [
+        (b"<p>giant %d</p>" % i) + body * reps for i in range(48)
+    ]
+    giants = pa.table(
+        {
+            "url": pa.array(
+                [f"https://patho.example/giant/{i}" for i in range(48)]
+            ),
+            "warc_ts": pa.array(
+                [base["warc_ts"][0].as_py()] * 48,
+                type=base.schema.field("warc_ts").type,
+            ),
+            "html": pa.array(giant_html, type=pa.binary()),
+            "text": pa.array([""] * 48),
+            "lang": pa.array(["en"] * 48),
+        }
+    )
+    for i, f in enumerate(src_files):
+        os.symlink(f, os.path.join(patho, f"base_{i:02d}.parquet"))
+    pq.write_table(
+        giants, os.path.join(patho, "giants.parquet"), row_group_size=48
+    )
+
+    out = {"giant_mb": round(len(body) * reps / 1e6, 1), "n_giants": 48}
+    spark = get_spark(app_name="patho", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    with capped_scan_splits(spark):
+        for layout, paths in (
+            # full corpus for the bench-layout arm: a 10-shard slice has
+            # too few disk bytes for 32 well-sized splits (maxSplitBytes
+            # floors at the 4 MB open cost), which would handicap the
+            # unsalted path for reasons unrelated to skew
+            ("bench_layout", [corpus]),
+            ("pathological", [patho]),
+        ):
+            pages = spark.read.parquet(*paths)
+            n_docs = pages.count()
+            out[f"{layout}_auto_salts"] = not splits_bound_skew(pages)
+            for salted in (False, True):
+                t0 = time.time()
+                extract_pages(pages, salted=salted).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                key = f"{layout}_{'salted' if salted else 'unsalted'}"
+                out[key] = round(n_docs / (time.time() - t0), 1)
+    spark.stop()
+    shutil.rmtree(patho, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from document_ai_spark.session import get_spark
@@ -451,6 +585,9 @@ def main() -> int:
     print(f"[bench] steady state done +{time.time()-t_start:.0f}s",
           file=sys.stderr)
     scaling.update(steady)
+    scaling["salting_pathology"] = salting_pathology(corpus)
+    print(f"[bench] salting pathology done +{time.time()-t_start:.0f}s",
+          file=sys.stderr)
     total = round(sum(q_times.values()), 2)
     write_baseline_md(scaling, mp, q_times, SF_DIR)
     print(

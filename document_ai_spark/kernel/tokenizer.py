@@ -58,8 +58,20 @@ _CHROME_TAGS = frozenset({"nav", "footer", "aside", "header"})
 
 _HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
+# Precompiled close-tag patterns for raw-skip elements (script/style/...):
+# built once — compiling (or even re-cache-probing) per occurrence showed
+# up in the hot-path profile.
+_RAW_SKIP_CLOSE = {
+    name: re.compile(rf"</{name}[^>]*>", re.IGNORECASE)
+    for name in _RAW_SKIP
+}
 
-@dataclass
+# standalone trailing "/" in the attrs group = self-close marker (see the
+# unquoted-attribute-value caveat in tokenize_blocks)
+_SELF_CLOSE_RE = re.compile(r"(^|[\s\"'])/$")
+
+
+@dataclass(slots=True)
 class Block:
     """Feature row per segmented block (analog of the block rectangle +
     word-box list, /root/reference/ai_documents/detection/
@@ -79,11 +91,22 @@ class Block:
 def _normalize(fragments: list[str]) -> str:
     """Frozen whitespace policy: entity-unescaped fragments joined, then all
     whitespace runs collapsed to a single space, ends stripped."""
-    return " ".join("".join(fragments).split())
+    if not fragments:
+        return ""
+    s = fragments[0] if len(fragments) == 1 else "".join(fragments)
+    return " ".join(s.split())
 
 
 def tokenize_blocks(text: str) -> list[Block]:
-    """Segment decoded markup into feature blocks in document order."""
+    """Segment decoded markup into feature blocks in document order.
+
+    Hot path of the whole engine (89% of kernel time in the r3 profile) —
+    micro-optimized without any policy change (goldens stay byte-exact):
+    the empty-buffer flush is inlined at the call sites, entity unescape is
+    skipped when no '&' is present (same result: unescape is the identity
+    then), n_words counts separators instead of re-splitting the
+    already-normalized text, and the hot globals are bound to locals.
+    """
     blocks: list[Block] = []
     frags: list[str] = []
     link_frags: list[str] = []
@@ -92,15 +115,19 @@ def tokenize_blocks(text: str) -> list[Block]:
     anchor_depth = 0               # >0 while inside <a>
     cur_tag = "body"               # tag attributed to the block being built
 
+    tag_search = _TAG_RE.search
+    unescape = _html.unescape
+    raw_skip = _RAW_SKIP
+    block_tags = _BLOCK_TAGS
+    void_tags = _VOID_TAGS
+    chrome_tags = _CHROME_TAGS
+    headings = _HEADINGS
+
     def flush() -> None:
-        nonlocal frags, link_frags, anchor_depth
-        # Anchor state never crosses a block boundary: an unclosed <a>
-        # otherwise marks every later block as pure link text and the
-        # classifier rejects the whole document.
-        anchor_depth = 0
-        if not frags:  # hot path: most block boundaries have no text
-            link_frags = []
-            return
+        # Only called with non-empty frags (link_frags can only be
+        # non-empty alongside frags — both are appended and reset
+        # together); the empty case is inlined at the call sites.
+        nonlocal frags, link_frags
         norm = _normalize(frags)
         if norm:
             link_norm = _normalize(link_frags)
@@ -112,8 +139,10 @@ def tokenize_blocks(text: str) -> list[Block]:
                     text=norm,
                     text_len=len(norm),
                     link_text_len=len(link_norm),
-                    n_words=len(norm.split(" ")),
-                    is_heading=cur_tag in _HEADINGS,
+                    # norm is " "-joined single-space tokens, so the split
+                    # size equals separator count + 1
+                    n_words=norm.count(" ") + 1,
+                    is_heading=cur_tag in headings,
                     in_chrome=chrome_depth > 0,
                 )
             )
@@ -123,18 +152,19 @@ def tokenize_blocks(text: str) -> list[Block]:
     pos = 0
     n = len(text)
     while pos < n:
-        m = _TAG_RE.search(text, pos)
+        m = tag_search(text, pos)
         if m is None:
             seg = text[pos:]
             if seg:
-                u = _html.unescape(seg)
+                u = unescape(seg) if "&" in seg else seg
                 frags.append(u)
                 if anchor_depth > 0:
                     link_frags.append(u)
             break
-        if m.start() > pos:
-            seg = text[pos : m.start()]
-            u = _html.unescape(seg)
+        start = m.start()
+        if start > pos:
+            seg = text[pos:start]
+            u = unescape(seg) if "&" in seg else seg
             frags.append(u)
             if anchor_depth > 0:
                 link_frags.append(u)
@@ -150,28 +180,32 @@ def tokenize_blocks(text: str) -> list[Block]:
             open_name is not None
             and not self_close
             and _attrs.endswith("/")
-            and re.search(r"(^|[\s\"'])/$", _attrs)
+            and _SELF_CLOSE_RE.search(_attrs)
         ):
             self_close = "/"
 
         if open_name is not None:
             name = open_name.lower()
-            if name in _RAW_SKIP and not self_close:
+            if name in raw_skip and not self_close:
                 # Skip to the matching close tag (no nesting — frozen policy).
-                cm = re.compile(rf"</{name}[^>]*>", re.IGNORECASE).search(
-                    text, pos)
+                cm = _RAW_SKIP_CLOSE[name].search(text, pos)
                 pos = cm.end() if cm else n
                 continue
             if name == "a":
                 if not self_close:  # <a/> opens nothing
                     anchor_depth += 1
                 continue
-            if name in _BLOCK_TAGS:
-                flush()
-                if name not in _VOID_TAGS and not self_close:
+            if name in block_tags:
+                # Anchor state never crosses a block boundary: an unclosed
+                # <a> otherwise marks every later block as pure link text
+                # and the classifier rejects the whole document.
+                anchor_depth = 0
+                if frags:
+                    flush()
+                if name not in void_tags and not self_close:
                     stack.append(name)
                     cur_tag = name
-                    if name in _CHROME_TAGS:
+                    if name in chrome_tags:
                         chrome_depth += 1
             continue
 
@@ -180,13 +214,15 @@ def tokenize_blocks(text: str) -> list[Block]:
             if name == "a":
                 anchor_depth = max(0, anchor_depth - 1)
                 continue
-            if name in _BLOCK_TAGS:
-                flush()
+            if name in block_tags:
+                anchor_depth = 0
+                if frags:
+                    flush()
                 if name in stack:
                     # Pop to the matching open (recovers from unclosed tags).
                     while stack:
                         top = stack.pop()
-                        if top in _CHROME_TAGS:
+                        if top in chrome_tags:
                             chrome_depth = max(0, chrome_depth - 1)
                         if top == name:
                             break
@@ -194,5 +230,6 @@ def tokenize_blocks(text: str) -> list[Block]:
             continue
         # Comments / doctype / CDATA / PI: dropped.
 
-    flush()
+    if frags:
+        flush()
     return blocks

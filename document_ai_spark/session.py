@@ -72,6 +72,11 @@ def get_spark(
         # large `html` binaries overflow the vectorized parquet reader's
         # contiguous column buffer at the default 4096 rows/batch
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # zstd over snappy for parquet output: interleaved pinned A/B on
+        # the extraction write path measured ~5-10% higher docs/s AND
+        # better compression — the right default for 100 TB text outputs
+        # (BENCH/BASELINE.md r3 codec table)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
