@@ -3,9 +3,8 @@
 `entry(spark)` runs the flagship extraction query on sf0.001.
 `queries()` maps every implemented operator (SURVEY.md §2 + the
 training-data-pipeline additions) to a (spark, sf_dir) callable;
-`oracle_sql()` gives the DuckDB-equivalent SQL for each (omitted only for
-media_features until its decoder oracle lands — the driver records a
-rows-only check there).
+`oracle_sql()` gives the DuckDB-equivalent SQL for EVERY entry (r3: the
+last rows-only entry, media_features, gained a real-decoder oracle).
 
 Round-3 registry layout: the driver gate records ~50 entries, so the 63
 round-2 queries are consolidated to exactly 50 — trivially-overlapping
@@ -114,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_key_next_right": SP.SQL_FUZZY_KEY_NEXT_RIGHT,
         "winnow_fingerprint": M.SQL_WINNOW_FINGERPRINT,
         "best_config": SU.SQL_BEST_CONFIG,
+        "media_features": M.SQL_MEDIA_FEATURES,
         "frame_samples": M.SQL_FRAME_SAMPLES,
         "relational_demo_suite": SU.SQL_RELATIONAL_DEMO_SUITE,
         "text_metrics": SU.SQL_TEXT_METRICS,
@@ -153,5 +153,4 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": M.SQL_FINGERPRINT,
         "top_terms": M.SQL_TOP_TERMS,
         "char_entropy": M.SQL_CHAR_ENTROPY,
-        # media_features: no oracle until the real-decoder oracle lands
     }

@@ -781,28 +781,119 @@ FROM reach GROUP BY node
 """
 
 
+# --------------------------------------------------------------------------
+# Multimodal image features over REAL BMP payloads (r3: the decoder is a
+# real pure-Python BMP parser, the r1/r2 fake is gone). The query builds a
+# valid 8x8 24bpp BMP per document IN the query: a constant 54-byte header
+# (base64 literal, identical in both engines) + 192 pixel bytes from six
+# md5 hex digests of the text (hex chars are ASCII, so encode() is
+# byte-exact). Spark truly decodes the BMP (header parse, bottom-up rows,
+# integer BT.601 luma); DuckDB reproduces every feature — including the
+# full 64-bit phash — with exact integer math over the same hex chars.
+# mean/64 is exact at 6 decimals (64 = 2^6), so round() agrees. Docs with
+# doc_id % 97 == 0 get a deliberately corrupt payload to keep the
+# error-row path non-vacuous.
+# --------------------------------------------------------------------------
+
+def _bmp_header_b64() -> str:
+    import base64
+    import struct
+
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + 192, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, 192,
+                      2835, 2835, 0, 0)
+    )
+    assert len(hdr) == 54
+    return base64.b64encode(hdr).decode()
+
+
+_BMP_HEADER_B64 = _bmp_header_b64()
+_BMP_SUFFIXES = ["", "a", "b", "c", "d", "e"]
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing demo over driver tables: documents' text bytes as
-    opaque image payloads -> feature extraction via the stubbed decoder
-    (operators/multimodal.py). Rows-only driver check."""
-    from .operators.multimodal import MEDIA_SCHEMA, image_features
+    from .operators.multimodal import image_features
 
     d = _t(spark, sf_dir, "documents")
+    hx = F.concat(
+        *[
+            F.md5(F.encode(F.concat(F.col("text"), F.lit(s)), "UTF-8"))
+            for s in _BMP_SUFFIXES
+        ]
+    )
+    bmp = F.concat(
+        F.unbase64(F.lit(_BMP_HEADER_B64)), F.encode(hx, "UTF-8")
+    )
+    payload = F.when(
+        F.col("doc_id") % 97 == 0, F.encode(F.lit("corrupt"), "UTF-8")
+    ).otherwise(bmp)
     media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode("text", "UTF-8").alias("payload"),
-        F.lit("image/x-fake").alias("mime"),
+        payload.alias("payload"),
+        F.lit("image/bmp").alias("mime"),
         F.struct(
-            F.lit(16).alias("width"),
-            F.lit(16).alias("height"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
-    assert [f.name for f in MEDIA_SCHEMA.fields] == [
-        "media_id", "kind", "payload", "mime", "meta"
-    ]
     return image_features(media)
+
+
+_BMP_HX = " || ".join(
+    f"md5(text || '{s}')" if s else "md5(text)" for s in _BMP_SUFFIXES
+)
+
+# luma of image pixel i (row-major, top-down): BMP rows are bottom-up, so
+# payload row = 7 - i//8; bytes are BGR triples of ASCII hex-char codes
+_SQL_BMP_LUMA = """
+  list_transform(range(0, 64), i ->
+    (299 * CAST(ascii(substr(hx, (7 - i // 8) * 24 + (i % 8) * 3 + 3, 1))
+                AS BIGINT)
+     + 587 * CAST(ascii(substr(hx, (7 - i // 8) * 24 + (i % 8) * 3 + 2, 1))
+                  AS BIGINT)
+     + 114 * CAST(ascii(substr(hx, (7 - i // 8) * 24 + (i % 8) * 3 + 1, 1))
+                  AS BIGINT)) // 1000)
+"""
+
+SQL_MEDIA_FEATURES = f"""
+WITH m AS (
+  SELECT doc_id, {_BMP_HX} AS hx FROM documents),
+lum AS (
+  SELECT doc_id, {_SQL_BMP_LUMA} AS px FROM m),
+feat AS (
+  SELECT doc_id, px, CAST(list_sum(px) AS DOUBLE) / 64 AS mean_px
+  FROM lum),
+hashed AS (
+  SELECT doc_id, mean_px,
+    list_sum(list_transform(range(0, 32), i ->
+      CASE WHEN px[i + 1] > mean_px
+           THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS lo32,
+    list_sum(list_transform(range(32, 64), i ->
+      CASE WHEN px[i + 1] > mean_px
+           THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END)) AS hi32
+  FROM feat),
+u AS (
+  SELECT doc_id, mean_px,
+         CAST(lo32 AS HUGEINT) + CAST(hi32 AS HUGEINT) * 4294967296 AS uv
+  FROM hashed)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 8 END AS width,
+       CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 8 END AS height,
+       CASE WHEN doc_id % 97 = 0 THEN 0.0 ELSE round(mean_px, 6) END
+           AS mean_luma,
+       CASE WHEN doc_id % 97 = 0 THEN 0
+            ELSE CAST(CASE WHEN uv >= 9223372036854775808
+                           THEN uv - 18446744073709551616
+                           ELSE uv END AS BIGINT) END AS phash,
+       doc_id % 97 <> 0 AS decode_ok,
+       CASE WHEN doc_id % 97 = 0 THEN 'decode_failed:ValueError' ELSE '' END
+           AS err
+FROM u
+"""
 
 
 # --------------------------------------------------------------------------
