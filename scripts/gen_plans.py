@@ -79,9 +79,12 @@ group <= 64 MB uncompressed, >= 2x-parallelism row groups — checked from
 footers locally, from the table manifest on a cluster), the full-payload
 shuffle disappears and the kernel runs directly on the scan — measured
 ~1.6x end-to-end on the bench corpus (BENCH/BASELINE.md). Skew stays
-bounded because `files.maxPartitionBytes` is capped so split packing
-cannot rebuild oversized tasks; pathological layouts (one giant row
-group, unknown manifests) keep the salted plan above.
+bounded because the action site wraps the job in `capped_scan_splits`
+(r3: a save/restore context manager — the cap no longer leaks into the
+session), which caps `files.maxPartitionBytes` so split packing cannot
+rebuild oversized tasks; pathological layouts (one giant row group,
+unknown manifests) keep the salted plan above — measured 3.5x in its
+favor there (BENCH/BASELINE.md salting table).
 """,
         "## pricing_summary — pushdown + partial aggregation\n",
         "```\n"
