@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": SU.q_sessionize,
         "ann_ivf_topk": M.q_ann_ivf_topk,
         "approx_distinct_users": Q.q_approx_distinct_users,
+        "line_dedup": TX.q_line_dedup,
+        "doc_signatures": SU.q_doc_signatures,
         # --- extraction pipeline (the graft itself) ---
         "extract_article": P.q_extract_article,
         "extract_pdf": P.q_extract_pdf,
@@ -95,9 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": M.q_simhash,
         "ann_lsh_buckets": M.q_ann_lsh_buckets,
         "dedup_clusters": M.q_dedup_clusters,
-        "fingerprint": M.q_fingerprint,
         "top_terms": M.q_top_terms,
-        "char_entropy": M.q_char_entropy,
     }
 
 
@@ -121,6 +121,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SU.SQL_SESSIONIZE,
         "ann_ivf_topk": M.SQL_ANN_IVF_TOPK,
         "approx_distinct_users": Q.SQL_APPROX_DISTINCT_USERS,
+        "line_dedup": TX.SQL_LINE_DEDUP,
+        "doc_signatures": SU.SQL_DOC_SIGNATURES,
         "extract_article": P.SQL_EXTRACT_ARTICLE,
         "extract_pdf": P.SQL_EXTRACT_PDF,
         "extract_validate": P.SQL_EXTRACT_VALIDATE,
@@ -150,7 +152,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash": M.SQL_SIMHASH,
         "ann_lsh_buckets": M.SQL_ANN_LSH_BUCKETS,
         "dedup_clusters": M.SQL_DEDUP_CLUSTERS,
-        "fingerprint": M.SQL_FINGERPRINT,
         "top_terms": M.SQL_TOP_TERMS,
-        "char_entropy": M.SQL_CHAR_ENTROPY,
     }

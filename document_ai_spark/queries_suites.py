@@ -436,6 +436,34 @@ QUALIFY row_number() OVER (PARTITION BY lang, metric
 
 
 # --------------------------------------------------------------------------
+# Doc signatures — min-k fingerprint + char entropy joined per doc (both
+# are per-doc explode-aggregate shapes; merged r3 to free a registry slot
+# for line_dedup).
+# --------------------------------------------------------------------------
+
+
+def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_text import q_char_entropy, q_fingerprint
+
+    return q_fingerprint(spark, sf_dir).join(
+        q_char_entropy(spark, sf_dir), "doc_id"
+    )
+
+
+def _sql_doc_signatures() -> str:
+    from .queries_text import SQL_CHAR_ENTROPY, SQL_FINGERPRINT
+
+    return f"""
+SELECT f.doc_id, f.fingerprint, e.entropy
+FROM ({SQL_FINGERPRINT}) f JOIN ({SQL_CHAR_ENTROPY}) e
+  ON f.doc_id = e.doc_id
+"""
+
+
+SQL_DOC_SIGNATURES = _sql_doc_signatures()
+
+
+# --------------------------------------------------------------------------
 # Embedding near-dups — baseline + LSH scale path, method-tagged.
 # --------------------------------------------------------------------------
 

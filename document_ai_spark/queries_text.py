@@ -424,6 +424,101 @@ LIMIT 50
 
 
 # --------------------------------------------------------------------------
+# Line-level corpus dedup (C4/CCNet-style boilerplate removal, r3): a line
+# occurring in more than LINE_DEDUP_MAX_DOCS distinct documents is chrome
+# ("subscribe to our newsletter") and is dropped from EVERY document; rare
+# lines survive. Fully relational: explode lines with position, count
+# distinct docs per normalized line (shuffle on a uniform line-hash key —
+# exactly how the production C4 pipeline ran), anti-filter, reassemble in
+# original order. The driver's synthetic corpus has no naturally repeated
+# lines, so two marker lines are injected IN the query: a frequent one
+# (every 10th doc -> dropped) and a rare one (every 100th doc -> kept).
+# --------------------------------------------------------------------------
+
+LINE_DEDUP_MAX_DOCS = 5
+_LD_FREQ = "Subscribe to our newsletter today"
+_LD_RARE = "Rare promo line"
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 10 == 0,
+                   F.lit("\n" + _LD_FREQ)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 100 == 0,
+                   F.lit("\n" + _LD_RARE)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    lines = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n")).alias("line_no", "line"),
+    )
+    key = F.lower(F.trim(F.col("line")))
+    counts = (
+        lines.filter(key != "")
+        .select(key.alias("k"), "doc_id")
+        .groupBy("k")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    kept = (
+        lines.withColumn("k", key)
+        .join(counts, "k", "left")
+        .filter(
+            F.col("n_docs").isNull()
+            | (F.col("n_docs") <= LINE_DEDUP_MAX_DOCS)
+        )
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "line"))
+                    ),
+                    lambda s: s.line,
+                ),
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_kept", F.length("clean_text").alias(
+            "clean_len"), "clean_text")
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 10 = 0
+                 THEN chr(10) || '{_LD_FREQ}' ELSE '' END
+         || CASE WHEN doc_id % 100 = 0
+                 THEN chr(10) || '{_LD_RARE}' ELSE '' END AS text
+  FROM documents),
+ls AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM d),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line,
+         unnest(range(0, len(ls))) AS line_no
+  FROM ls),
+counts AS (
+  SELECT lower(trim(line)) AS k, COUNT(DISTINCT doc_id) AS n_docs
+  FROM lines WHERE lower(trim(line)) <> '' GROUP BY 1),
+kept AS (
+  SELECT lines.* FROM lines
+  LEFT JOIN counts ON lower(trim(lines.line)) = counts.k
+  WHERE n_docs IS NULL OR n_docs <= {LINE_DEDUP_MAX_DOCS})
+SELECT doc_id, COUNT(*) AS n_kept,
+       CAST(length(string_agg(line, chr(10) ORDER BY line_no)) AS BIGINT)
+           AS clean_len,
+       string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+FROM kept GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Character-entropy quality signal (low-entropy docs are boilerplate /
 # repeated-token spam; a standard webtext filter). Columnar: explode chars,
 # per-char counts, -sum(p*log2(p)) rounded to 6dp in both engines.

@@ -49,6 +49,10 @@ SCAN_ALLOWLIST = {
                                 # and branches were scan-audited before the
                                 # merge — never co-run at corpus scale
     "sessionize": 2,            # two sessionization forms over events
+    "doc_signatures": 3,        # fingerprint (shingle explode) + entropy
+                                # (char explode) branches joined per doc —
+                                # registry-slot merge, branches already
+                                # scan-minimal
 }
 
 # constant-flag columns that are constant BY CONSTRUCTION: these queries'
