@@ -102,9 +102,22 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # materialize the edge set once and size the rounds to it: the LSH
+    # candidate graph is usually tiny relative to the corpus (826 edges at
+    # sf0.1), and running every O(log d) round at the session's full
+    # shuffle width made the loop pure scheduler latency. 100k edges per
+    # partition keeps one partition per round-task comfortable; huge
+    # graphs keep the session width.
+    sym = sym.localCheckpoint(eager=True)
+    n_edges = sym.count()
+    spark = edges.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = max(1, min(width, n_edges // 100_000 + 1))
+    sym = sym.repartition(parts, "src")
     labels = (
         sym.select(F.col("src").alias("node")).distinct()
         .withColumn("component", F.col("node"))
+        .repartition(parts, "node")
     )
     for _i in range(max_iter):
         # candidate labels flowing across edges
@@ -116,7 +129,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         new_labels = (
             labels.join(prop, "node", "left")
             .groupBy("node")
-            .agg(F.least(F.min("component"), F.min("cand")).alias("component"))
+            .agg(
+                F.least(F.min("component"), F.min("cand")).alias("component"),
+                # component is constant per node, so min() carries the
+                # round's INPUT label through — the convergence probe then
+                # needs only a filter on the materialized result, not a
+                # join back to the previous labels (one fewer join job per
+                # round; measured in the funnel's wall time)
+                F.min("component").alias("old_component"),
+            )
         )
         # pointer jumping: component <- label(component); combined with the
         # edge propagation this converges in O(log diameter) rounds instead
@@ -137,16 +158,19 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("a.component"),
                     F.coalesce(F.col("jcomp"), F.col("a.component")),
                 ).alias("component"),
+                F.col("a.old_component").alias("old_component"),
             )
         )
+        # checkpoint FIRST (cut lineage growth), then probe convergence on
+        # the materialized result — probing the un-checkpointed frame
+        # re-executed the whole round's plan twice
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_labels.filter(F.col("component") != F.col("old_component"))
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels
