@@ -203,40 +203,88 @@ FROM bands a JOIN bands b
 
 
 # --------------------------------------------------------------------------
-# n-gram Jaccard similarity vs a probe document (doc_id 0)
+# n-gram Jaccard similarity vs a probe document (doc_id 0) + benchmark
+# DECONTAMINATION (r3): docs 0-2 play the held-out eval set; any corpus
+# doc sharing >= DECON_MIN_SHARED distinct word-3-gram shingles with the
+# eval union is flagged contaminated (the n-gram-overlap decontamination
+# every serious training-data pipeline runs before training). The random
+# synthetic corpus shares no shingles naturally, so every (doc_id % 50 ==
+# 7) doc gets the first 120 chars of doc 0 appended IN the query — those
+# docs must flag, everything else must not (both flag values exercised).
+# Eval shingles are one broadcast array; the check is a column expression
+# per doc — no join explosion at corpus scale.
 # --------------------------------------------------------------------------
 
+DECON_MIN_SHARED = 3
+_DECON_EVAL_MAX_ID = 2
+
+
 def q_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d0 = _t(spark, sf_dir, "documents")
+    snip = d0.filter(F.col("doc_id") == 0).select(
+        F.substring("text", 1, 120).alias("snip")
+    )
+    d = d0.crossJoin(F.broadcast(snip)).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 7,
+            F.concat(F.col("text"), F.lit(" "), F.col("snip")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
     sh = d.withColumn("words", _norm_words()).select(
         "doc_id", F.array_distinct(_shingles(F.col("words"))).alias("sh")
     )
     probe = sh.filter(F.col("doc_id") == 0).select(
         F.col("sh").alias("probe_sh")
     )
-    j = sh.crossJoin(F.broadcast(probe))
+    ev = (
+        sh.filter(F.col("doc_id") <= _DECON_EVAL_MAX_ID)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+        .agg(F.collect_set("s").alias("eval_sh"))
+    )
+    j = sh.crossJoin(F.broadcast(probe)).crossJoin(F.broadcast(ev))
     inter = F.size(F.array_intersect("sh", "probe_sh"))
     union = F.size("sh") + F.size("probe_sh") - inter
+    n_shared = F.size(F.array_intersect("sh", "eval_sh"))
+    in_eval = F.col("doc_id") <= _DECON_EVAL_MAX_ID
     return j.select(
         "doc_id",
         F.round(
             F.when(union > 0, inter.cast("double") / union).otherwise(0.0), 6
         ).alias("jaccard"),
+        n_shared.cast("long").alias("n_shared"),
+        in_eval.alias("in_eval"),
+        (~in_eval & (n_shared >= DECON_MIN_SHARED)).alias("contaminated"),
     )
 
 
 SQL_NGRAM_JACCARD_PROBE = f"""
-WITH sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLES_FROM_WORDS}) AS sh
-            FROM ({_SQL_WORDS_CTE})),
-probe AS (SELECT sh AS probe_sh FROM sh WHERE doc_id = 0)
+WITH d AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 50 = 7
+                      THEN ' ' || (SELECT substr(text, 1, 120)
+                                   FROM documents WHERE doc_id = 0)
+                      ELSE '' END AS text
+  FROM documents),
+sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLES_FROM_WORDS}) AS sh
+       FROM (SELECT doc_id, {_SQL_WORDS} AS words FROM d)),
+probe AS (SELECT sh AS probe_sh FROM sh WHERE doc_id = 0),
+ev AS (SELECT list_distinct(flatten(list(sh))) AS eval_sh
+       FROM sh WHERE doc_id <= {_DECON_EVAL_MAX_ID})
 SELECT doc_id,
        round(CASE WHEN len(sh) + len(probe_sh)
                        - len(list_intersect(sh, probe_sh)) > 0
              THEN CAST(len(list_intersect(sh, probe_sh)) AS DOUBLE)
                   / (len(sh) + len(probe_sh)
                      - len(list_intersect(sh, probe_sh)))
-             ELSE 0.0 END, 6) AS jaccard
-FROM sh, probe
+             ELSE 0.0 END, 6) AS jaccard,
+       CAST(len(list_intersect(sh, eval_sh)) AS BIGINT) AS n_shared,
+       doc_id <= {_DECON_EVAL_MAX_ID} AS in_eval,
+       doc_id > {_DECON_EVAL_MAX_ID}
+           AND len(list_intersect(sh, eval_sh)) >= {DECON_MIN_SHARED}
+           AS contaminated
+FROM sh, probe, ev
 """
 
 

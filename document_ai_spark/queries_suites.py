@@ -216,6 +216,14 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("bpe_tokens"),
         _shingles(F.col("words")).alias("sh"),
+        # deterministic hash split (r3): first two md5 nibbles -> 0..255,
+        # ~90/5/5 train/val/test. Content-hash based so the assignment is
+        # stable across runs, partitions, and engines (the property a
+        # train/val split MUST have at 100 TB — never rand())
+        F.expr(
+            "16 * (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1)"
+            " + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)"
+        ).cast("long").alias("split_v"),
     )
     best = (
         F.when(
@@ -272,6 +280,10 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n_sh > 0) & (n_dup.cast("double") > n_sh * REP_THRESHOLD)).alias(
             "repetitive"
         ),
+        F.when(F.col("split_v") < 230, "train")
+        .when(F.col("split_v") < 243, "val")
+        .otherwise("test")
+        .alias("split"),
     )
 
 
@@ -296,7 +308,9 @@ s AS (
     length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
     len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])', 1))
         AS bpe_tokens,
-    {_SQL_SHINGLES_FROM_WORDS} AS sh
+    {_SQL_SHINGLES_FROM_WORDS} AS sh,
+    16 * (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+      + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS split_v
   FROM b)
 SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
   CASE
@@ -317,7 +331,10 @@ SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
         ELSE 0.0 END, 6) AS dup_ratio,
   len(sh) > 0 AND CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE)
                   > len(sh) * {REP_THRESHOLD}
-      AS repetitive
+      AS repetitive,
+  CASE WHEN split_v < 230 THEN 'train'
+       WHEN split_v < 243 THEN 'val'
+       ELSE 'test' END AS split
 FROM s
 """
 

@@ -53,6 +53,10 @@ SCAN_ALLOWLIST = {
                                 # (char explode) branches joined per doc —
                                 # registry-slot merge, branches already
                                 # scan-minimal
+    "ngram_jaccard_probe": 6,   # ONE full corpus scan; the other five are
+                                # doc_id point lookups (probe doc, eval
+                                # docs 0-2, injection snippet) whose
+                                # pushed filters skip row groups at scale
 }
 
 # constant-flag columns that are constant BY CONSTRUCTION: these queries'
