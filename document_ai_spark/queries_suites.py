@@ -379,7 +379,9 @@ def q_best_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView("_cfg_sweep_all")
     log = spark.sql(
         """
-        SELECT COALESCE(lang, 'ALL') AS lang, config_id, min_tok, max_p,
+        SELECT CASE WHEN grouping(lang) = 1 THEN 'ALL' ELSE lang END
+                   AS lang,
+               config_id, min_tok, max_p,
                round(avg(CAST(cfg_pass AS INT)), 6) AS pass_rate,
                round(avg(CAST(cfg_pass = frozen_pass AS INT)), 6)
                    AS agree_rate,
@@ -429,7 +431,10 @@ j AS (
              AND n_punct * 10 <= n_tokens * 3 AS frozen_pass
   FROM base, grid),
 log AS (
-  SELECT COALESCE(lang, 'ALL') AS lang, config_id, min_tok, max_p,
+  -- GROUPING(), not COALESCE: a genuine NULL-lang data group must not
+  -- collide with the global 'ALL' section
+  SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+         config_id, min_tok, max_p,
          round(avg(CAST(cfg_pass AS INT)), 6) AS pass_rate,
          round(avg(CAST(cfg_pass = frozen_pass AS INT)), 6) AS agree_rate,
          round(COALESCE(avg(n_tokens) FILTER (cfg_pass), 0.0), 6)
