@@ -21,6 +21,7 @@ def main() -> int:
     from document_ai_spark import queries_ml as M
     from document_ai_spark import queries_pipeline as P  # noqa: F401
     from document_ai_spark import queries_spatial as SP
+    from document_ai_spark import queries_text as TX
     from document_ai_spark.datagen import write_corpus
     from document_ai_spark.operators.extraction import extract_pages
     from document_ai_spark.session import get_spark
@@ -138,14 +139,37 @@ loop is gone.
         "## curation_funnel — single-scan multi-rule curation\n",
         "```\n" + plan(M.q_curation_funnel(spark, sf),
                        keep=["ReadSchema"]) + "\n```\n",
-        """**Scale notes.** All four stage flags (dedup keeper, quality,
-Gopher pack, language-ID agreement) come from ONE scan of the documents
-table — composing the four standalone queries would re-read the 100 TB
-text column four times. The only shuffle is the window for the exact-dedup
-keeper (hash-partition on md5(text), uniform key); the funnel counts are a
-single partial+final aggregate on top. The same engine
-(operators/curate.py) runs against freshly extracted tables via the
-`curate` CLI.
+        """**Scale notes.** The four column-expression stage flags (dedup
+keeper, quality, Gopher pack, language-ID agreement) come from ONE scan
+of the documents table — composing the standalone queries would re-read
+the 100 TB text column once per flag. The r3 near-dup stage adds the
+MinHash/LSH candidate pipeline (bucketed band self-join, never all-pairs)
+plus O(log diameter) connected-component rounds whose width adapts to the
+measured candidate-edge count; its keeper flags join back on doc_id. The
+same engine (operators/curate.py) runs against freshly extracted tables
+via the `curate` CLI (`--rules dedup,neardup,quality,gopher`).
+""",
+        "## line_dedup — C4-style line-level corpus dedup\n",
+        "```\n" + plan(TX.q_line_dedup(spark, sf),
+                       keep=["ReadSchema"]) + "\n```\n",
+        """**Scale notes.** Lines explode JVM-side with positions; the
+frequency count shuffles on the normalized line key (uniform — exactly
+the shape the production C4 pipeline ran at web scale); the left join
+back is key-partitioned, and documents reassemble with an order-aware
+aggregate. No Python anywhere; the only wide operations are two hash
+shuffles on uniform keys.
+""",
+        "## ann_ivf_topk — deterministic IVF (index build + probe)\n",
+        "```\n" + plan(M.q_ann_ivf_topk(spark, sf),
+                       keep=["ReadSchema"]) + "\n```\n",
+        """**Scale notes.** List assignment is exact-integer hyperplane
+arithmetic in column expressions; centroids are per-(list, dimension)
+integer SUMs (order-independent, so the oracle agrees bit for bit);
+probing broadcasts the tiny centroid/probe sides and the exact re-rank
+touches only the IVF_NPROBE selected lists. In production the inverted
+lists and centroid sums are materialized once as the vector table's
+physical partitioning — this composed one-query form exists for the
+correctness gate; the scan-count audit documents the difference.
 """,
         "## interval_union — window cumulative-max grouping\n",
         "```\n" + plan(Q.q_interval_union(spark, sf)) + "\n```\n",
