@@ -1,0 +1,134 @@
+"""URL canonicalization — pure column expressions (JVM-side, codegen'd;
+no Python in the hot path), the normalization a crawl pipeline applies
+before url-keyed dedup/partitioning.
+
+Policy (deterministic, documented):
+  1. scheme and host lowercase; userinfo stripped
+  2. default ports stripped (:80 for http, :443 for https)
+  3. fragment stripped
+  4. tracking query params removed (utm_*, gclid, fbclid); a now-empty
+     query string drops its '?'
+  5. duplicate slashes in the path collapsed; trailing '/' kept (it is
+     semantically significant)
+
+`url_host` / `registered_domain` extract the host and an eTLD+1
+approximation (two labels, or three when the public suffix is a known
+two-level one like co.uk — the full public-suffix list plugs in as a
+broadcast map on a real deployment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# known two-level public suffixes for the heuristic (extend or replace
+# with the full PSL as a broadcast join in production)
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx",
+)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (no scheme, userinfo, port, path)."""
+    host = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/@]*@)?([^/:?#]+)", 1
+    )
+    return F.lower(host)
+
+
+def registered_domain(url: Column) -> Column:
+    """eTLD+1 approximation: last two host labels, or three when the
+    suffix is a known two-level one (co.uk etc.)."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", parts[n - 2], parts[n - 1])
+    last3 = F.concat_ws(".", parts[n - 3], parts[n - 2], parts[n - 1])
+    is_two_level = last2.isin(*TWO_LEVEL_SUFFIXES)
+    return (
+        F.when(n <= 2, host)
+        .when(is_two_level & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def with_url_columns(df, url_col: str = "url"):
+    """Attach (url_norm, host, domain) — the standard crawl-table
+    enrichment before url-keyed operations. Requires no UDF."""
+    # materialize intermediates as real columns so expr() references hold
+    u = F.trim(F.col(url_col))
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1)
+    )
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
+    rest = F.regexp_replace(rest, r"^[^/@]*@", "")
+    out = (
+        df.withColumn("_scheme", scheme)
+        .withColumn("_rest", rest)
+        .withColumn(
+            "_authority", F.regexp_extract("_rest", r"^([^/?#]*)", 1)
+        )
+        .withColumn(
+            "_tail",
+            F.expr(
+                "substring(_rest, length(_authority) + 1)"
+            ),
+        )
+        .withColumn(
+            "_authority",
+            F.when(
+                (F.col("_scheme") == "http")
+                & F.col("_authority").endswith(":80"),
+                F.expr("substring(_authority, 1, length(_authority) - 3)"),
+            )
+            .when(
+                (F.col("_scheme") == "https")
+                & F.col("_authority").endswith(":443"),
+                F.expr("substring(_authority, 1, length(_authority) - 4)"),
+            )
+            .otherwise(F.col("_authority")),
+        )
+        .withColumn("_tail", F.regexp_replace("_tail", r"#.*$", ""))
+        .withColumn(
+            "_tail",
+            F.regexp_replace(
+                "_tail", r"([?&])(utm_[^=&]*|gclid|fbclid)=[^&]*", r"$1"
+            ),
+        )
+        .withColumn("_tail", F.regexp_replace("_tail", r"\?&+", "?"))
+        .withColumn("_tail", F.regexp_replace("_tail", r"&&+", "&"))
+        .withColumn("_tail", F.regexp_replace("_tail", r"[?&]+$", ""))
+        .withColumn("_path", F.regexp_extract("_tail", r"^([^?]*)", 1))
+        .withColumn(
+            "_query", F.expr("substring(_tail, length(_path) + 1)")
+        )
+        .withColumn("_path", F.regexp_replace("_path", r"//+", "/"))
+        .withColumn(
+            "url_norm",
+            F.concat(
+                "_scheme", F.lit("://"), F.lower("_authority"), "_path",
+                "_query",
+            ),
+        )
+        .withColumn("host", url_host(F.col(url_col)))
+        .withColumn("domain", registered_domain(F.col(url_col)))
+    )
+    return out.drop(
+        "_scheme", "_rest", "_authority", "_tail", "_path", "_query"
+    )
+
+
+def host_metrics(extracted, url_col: str = "url"):
+    """Per-registered-domain crawl stats over an extracted table: docs,
+    raw bytes, parse failures — the rollup an operator watches for a
+    misbehaving host. One scan + one uniform-key aggregation."""
+    e = extracted.withColumn("domain", registered_domain(F.col(url_col)))
+    return e.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("html_bytes").alias("bytes"),
+        F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias(
+            "parse_failures"
+        ),
+    )

@@ -1,0 +1,72 @@
+"""URL canonicalization column expressions: normalization policy cases,
+host / registered-domain extraction, per-host metrics rollup, and the
+full datagen -> extract -> host_metrics -> curate chain."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from document_ai_spark.functions.url import (
+    host_metrics,
+    registered_domain,
+    url_host,
+    with_url_columns,
+)
+
+CASES = [
+    # (input, url_norm, host, domain)
+    ("https://Example.COM/path/page",
+     "https://example.com/path/page", "example.com", "example.com"),
+    ("http://example.com:80/a//b///c",
+     "http://example.com/a/b/c", "example.com", "example.com"),
+    ("https://example.com:443/x?utm_source=tw&q=1#frag",
+     "https://example.com/x?q=1", "example.com", "example.com"),
+    ("https://example.com/x?gclid=abc123",
+     "https://example.com/x", "example.com", "example.com"),
+    ("https://example.com/x?a=1&utm_medium=mail&b=2",
+     "https://example.com/x?a=1&b=2", "example.com", "example.com"),
+    ("https://user:pw@News.BBC.co.uk:443/story",
+     "https://news.bbc.co.uk/story", "news.bbc.co.uk", "bbc.co.uk"),
+    ("http://sub.deep.example.org/",
+     "http://sub.deep.example.org/", "sub.deep.example.org",
+     "example.org"),
+    ("https://example.com:8443/keepport",
+     "https://example.com:8443/keepport", "example.com", "example.com"),
+]
+
+
+def test_url_normalization_policy(spark):
+    df = spark.createDataFrame([(c[0],) for c in CASES], ["url"])
+    got = with_url_columns(df).select("url", "url_norm", "host",
+                                      "domain").collect()
+    by_url = {r.url: r for r in got}
+    for raw, norm, host, domain in CASES:
+        r = by_url[raw]
+        assert r.url_norm == norm, (raw, r.url_norm)
+        assert r.host == host, (raw, r.host)
+        assert r.domain == domain, (raw, r.domain)
+
+
+def test_url_helpers_are_pure_expressions(spark):
+    # whole-stage-codegen'd plan: no Python UDF, no BatchEvalPython
+    df = spark.createDataFrame([("https://a.example.com/x",)], ["url"])
+    plan = (
+        df.select(url_host(F.col("url")), registered_domain(F.col("url")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_host_metrics_end_to_end(spark, corpus_dir):
+    from document_ai_spark.operators.extraction import extract_pages
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    extracted = extract_pages(pages, num_partitions=4)
+    hm = host_metrics(extracted).collect()
+    assert hm
+    assert sum(r.docs for r in hm) == 200
+    assert all(r.parse_failures <= r.docs for r in hm)
+    # domains are registered-domain rollups of real urls, never empty
+    assert all(r.domain for r in hm)
