@@ -156,10 +156,36 @@ def cmd_ingest(args) -> int:
         spark, args.input, args.output, args.checkpoint,
         available_now=True,
         max_files_per_trigger=args.max_files_per_trigger,
+        dedup_horizon=args.dedup_horizon,
     )
     q.awaitTermination()
     n = spark.read.parquet(args.output).count()
     print(json.dumps({"docs_total": n, "out_dir": args.output}))
+    return 0
+
+
+def cmd_hosts(args) -> int:
+    """Per-registered-domain crawl stats over an extracted table — the
+    rollup an operator watches for a misbehaving host."""
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.functions.url import host_metrics
+
+    spark = _spark(args)
+    hm = host_metrics(spark.read.parquet(args.extracted)).orderBy(
+        F.col("docs").desc(), "domain"
+    )
+    if args.output:
+        hm.write.mode("overwrite").parquet(args.output)
+    rows = hm.limit(args.top).collect()
+    print(json.dumps({
+        "domains": hm.count(),
+        "top": [
+            {"domain": r.domain, "docs": r.docs, "bytes": r.bytes,
+             "parse_failures": r.parse_failures}
+            for r in rows
+        ],
+    }))
     return 0
 
 
@@ -276,7 +302,20 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--output", required=True)
     i.add_argument("--checkpoint", required=True)
     i.add_argument("--max-files-per-trigger", type=int, default=None)
+    i.add_argument(
+        "--dedup-horizon", default=None,
+        help="drop re-crawled duplicates (url+content key) within this "
+        "event-time horizon before extraction, e.g. '1 hour'",
+    )
     i.set_defaults(fn=cmd_ingest)
+
+    h = sub.add_parser("hosts", help="per-registered-domain crawl stats "
+                       "over an extracted table")
+    h.add_argument("--extracted", required=True)
+    h.add_argument("--output", default=None,
+                   help="optionally write the full rollup as parquet")
+    h.add_argument("--top", type=int, default=20)
+    h.set_defaults(fn=cmd_hosts)
 
     c = sub.add_parser("curate", help="dedup+quality+gopher funnel over an "
                        "extracted table")

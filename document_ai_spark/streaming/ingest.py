@@ -39,8 +39,14 @@ def stream_extract(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    dedup_horizon: str | None = None,
 ) -> StreamingQuery:
-    """Start (and return) the streaming extraction query."""
+    """Start (and return) the streaming extraction query.
+
+    `dedup_horizon` (e.g. '1 hour') drops re-crawled duplicates before
+    extraction via dropDuplicatesWithinWatermark (streaming/dedup.py) —
+    paying the dedup state BEFORE the expensive kernel, keyed on
+    url+content hash so changed pages still flow through."""
     reader = (
         spark.readStream.schema(PAGES_SCHEMA)
         .format("parquet")
@@ -48,6 +54,10 @@ def stream_extract(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     pages = reader.load(input_dir)
+    if dedup_horizon is not None:
+        from .dedup import stream_dedup_pages
+
+        pages = stream_dedup_pages(pages, horizon=dedup_horizon)
     # salted repartition is a stateless shuffle — allowed in streaming; it
     # spreads giant pages across tasks exactly like the batch path
     extracted = extract_pages(pages, salted=True)

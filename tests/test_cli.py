@@ -44,3 +44,21 @@ def test_cli_curate(spark, corpus_dir, tmp_path, capsys):
     assert 0 < res["written"] <= res["total_docs"]
     assert res["written"] == res["after_quality"]
     assert spark.read.parquet(out).count() == res["written"]
+
+
+def test_cli_hosts(spark, corpus_dir, tmp_path, capsys):
+    from document_ai_spark.operators.extraction import extract_pages
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    src = str(tmp_path / "ex")
+    extract_pages(pages, salted=False).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "hosts")
+    rc, res = _run(capsys, [
+        "hosts", "--extracted", src, "--output", out, "--top", "5",
+    ])
+    assert rc == 0
+    assert res["domains"] > 0
+    assert len(res["top"]) <= 5
+    assert sum(r["docs"] for r in res["top"]) <= 200
+    hm = spark.read.parquet(out)
+    assert hm.agg({"docs": "sum"}).collect()[0][0] == 200

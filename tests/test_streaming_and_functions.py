@@ -154,3 +154,51 @@ def test_curate_rules_selection(spark):
     assert d_only == {1, 3}
     row = funnel_counts(flags).collect()[0]
     assert (row.total_docs, row.after_dedup, row.kept) == (3, 2, 1)
+
+
+def test_stream_extract_with_dedup_horizon(spark, tmp_path):
+    """ingest --dedup-horizon: a re-delivered identical page is extracted
+    only once; a changed page is re-extracted."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0, tzinfo=dt.timezone.utc)
+
+    def batch(name, rows, mtime):
+        path = os.path.join(in_dir, name)
+        pq.write_table(
+            pa.table(
+                {
+                    "url": [r[0] for r in rows],
+                    "warc_ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us", tz="UTC")
+                    ),
+                    "html": pa.array([r[2] for r in rows], pa.binary()),
+                    "text": [""] * len(rows),
+                    "lang": ["en"] * len(rows),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (mtime, mtime))
+
+    html = b"<html><body><p>alpha beta gamma delta epsilon zeta eta " \
+           b"theta iota kappa lambda mu</p></body></html>"
+    batch("b1.parquet", [("u/a", t0, html)], 1_700_000_000)
+    batch("b2.parquet", [
+        ("u/a", t0 + dt.timedelta(minutes=1), html),        # re-fetch
+        ("u/a", t0 + dt.timedelta(minutes=2), html + b"<p>v2</p>"),
+    ], 1_700_000_100)
+
+    q = stream_extract(spark, in_dir, out_dir, ckpt,
+                       max_files_per_trigger=1, dedup_horizon="1 hour")
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 2  # original + changed, re-fetch dropped
+    assert got.select("url").distinct().count() == 1
