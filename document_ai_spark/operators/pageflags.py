@@ -1,0 +1,117 @@
+"""Page-level crawl-policy flags from the HTML head region: robots
+noindex/nofollow and the canonical URL — the metadata a crawl pipeline
+must honor before a page's text may enter a training corpus.
+
+Policy (deterministic):
+  - only the first PRESCAN_BYTES are examined (the head region; same
+    spirit as the charset pre-scan window),
+  - bytes decode as latin-1 for the scan (meta markup is ASCII; a total
+    decode that never raises),
+  - `<meta name="robots" content="...">` with either attribute order;
+    directives split on commas/whitespace, case-insensitive,
+  - `<link rel="canonical" href="...">` with either attribute order;
+    first match wins.
+
+One `mapInArrow` stage over (url, html) — regexes compile once per
+worker; giant pages cost only the prescan slice.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+PRESCAN_BYTES = 8192
+
+PAGE_FLAGS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("noindex", T.BooleanType()),
+        T.StructField("nofollow", T.BooleanType()),
+        T.StructField("canonical_url", T.StringType()),
+    ]
+)
+
+_META_RE = re.compile(r"<meta\b[^>]*>", re.IGNORECASE | re.DOTALL)
+_LINK_RE = re.compile(r"<link\b[^>]*>", re.IGNORECASE | re.DOTALL)
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z\-]+)\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""", re.DOTALL
+)
+
+
+def _attrs(tag: str) -> dict[str, str]:
+    out = {}
+    for m in _ATTR_RE.finditer(tag):
+        v = m.group(2)
+        if v[:1] in "\"'":
+            v = v[1:-1]
+        out[m.group(1).lower()] = v
+    return out
+
+
+def scan_page_flags(raw: bytes | None) -> tuple[bool, bool, str]:
+    """(noindex, nofollow, canonical_url) from the head region. Total —
+    returns (False, False, '') for anything unscannable."""
+    if not raw or raw.startswith(b"%PDF-"):
+        return False, False, ""
+    head = raw[:PRESCAN_BYTES].decode("latin-1")
+    noindex = nofollow = False
+    canonical = ""
+    for m in _META_RE.finditer(head):
+        a = _attrs(m.group(0))
+        if a.get("name", "").lower() != "robots":
+            continue
+        directives = {
+            d.strip().lower()
+            for d in re.split(r"[,\s]+", a.get("content", ""))
+        }
+        noindex = noindex or "noindex" in directives or "none" in directives
+        nofollow = (
+            nofollow or "nofollow" in directives or "none" in directives
+        )
+    for m in _LINK_RE.finditer(head):
+        a = _attrs(m.group(0))
+        if a.get("rel", "").lower() == "canonical" and a.get("href"):
+            canonical = a["href"]
+            break
+    return noindex, nofollow, canonical
+
+
+def _flag_batches(batches):
+    import pyarrow as pa
+
+    for b in batches:
+        urls = b.column(b.schema.get_field_index("url"))
+        htmls = b.column(b.schema.get_field_index("html")).to_pylist()
+        ni: list[bool] = []
+        nf: list[bool] = []
+        cu: list[str] = []
+        for raw in htmls:
+            a, c, d = scan_page_flags(raw)
+            ni.append(a)
+            nf.append(c)
+            cu.append(d)
+        yield pa.RecordBatch.from_arrays(
+            [
+                urls,
+                pa.array(ni, pa.bool_()),
+                pa.array(nf, pa.bool_()),
+                pa.array(cu, pa.string()),
+            ],
+            names=[f.name for f in PAGE_FLAGS_SCHEMA.fields],
+        )
+
+
+def page_flags(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> (url, noindex, nofollow, canonical_url)."""
+    cols = pages.select("url", "html")  # prune before Arrow
+    return cols.mapInArrow(_flag_batches, schema=PAGE_FLAGS_SCHEMA)
+
+
+def indexable_pages(pages: DataFrame) -> DataFrame:
+    """Filter pages a polite corpus may ingest: left-semi against the
+    noindex=false flag rows (the pre-extraction policy gate)."""
+    ok = page_flags(pages).filter("NOT noindex").select("url")
+    return pages.join(ok, "url", "left_semi")
