@@ -115,3 +115,33 @@ def indexable_pages(pages: DataFrame) -> DataFrame:
     noindex=false flag rows (the pre-extraction policy gate)."""
     ok = page_flags(pages).filter("NOT noindex").select("url")
     return pages.join(ok, "url", "left_semi")
+
+
+def canonical_dedup(pages: DataFrame) -> DataFrame:
+    """Canonical-aware page dedup: mirrors declaring the same
+    `<link rel=canonical>` target collapse to ONE page (first by
+    (warc_ts, url)). The dedup key is the normalized canonical URL when
+    the page declares an absolute one, else the page's own normalized
+    URL — composing the head-region scan with the URL canonicalization
+    policy (functions/url.py). One flag pass + one uniform-key window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from ..functions.url import with_url_columns
+
+    flags = page_flags(pages).select("url", "canonical_url")
+    j = pages.join(flags, "url", "left")
+    chosen = F.when(
+        F.col("canonical_url").rlike(r"^https?://"),
+        F.col("canonical_url"),
+    ).otherwise(F.col("url"))
+    keyed = with_url_columns(
+        j.withColumn("_ckey", chosen), url_col="_ckey"
+    )
+    w = W.partitionBy("url_norm").orderBy("warc_ts", "url")
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_ckey", "url_norm", "host", "domain",
+              "canonical_url")
+    )

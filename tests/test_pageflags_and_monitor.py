@@ -125,3 +125,34 @@ def test_stream_extraction_metrics_windows(spark, tmp_path):
     r = rows[0]
     assert r.window_start == t0
     assert (r.docs, r.bytes, r.parse_failures) == (3, 600, 1)
+
+
+def test_canonical_dedup(spark):
+    import datetime as dt
+
+    from document_ai_spark.operators.pageflags import canonical_dedup
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    canon = (b'<html><head><link rel="canonical" '
+             b'href="https://Example.com/story?utm_source=x"></head>ok')
+    rows = [
+        # three mirrors of the same canonical target -> keep earliest
+        ("https://m1.example.com/a", t0 + m, canon),
+        ("https://m2.example.com/b", t0, canon),
+        ("https://m3.example.com/c", t0 + 2 * m, canon),
+        # no canonical -> keyed by own normalized url
+        ("https://other.example.com/solo", t0, b"<html>solo"),
+        # relative canonical is ignored (key falls back to own url)
+        ("https://rel.example.com/r", t0,
+         b'<html><head><link rel="canonical" href="/r2"></head>'),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    kept = {r.url for r in canonical_dedup(pages).collect()}
+    assert kept == {
+        "https://m2.example.com/b",        # earliest mirror wins
+        "https://other.example.com/solo",
+        "https://rel.example.com/r",
+    }

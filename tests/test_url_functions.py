@@ -70,3 +70,27 @@ def test_host_metrics_end_to_end(spark, corpus_dir):
     assert all(r.parse_failures <= r.docs for r in hm)
     # domains are registered-domain rollups of real urls, never empty
     assert all(r.domain for r in hm)
+
+
+def test_registered_domain_psl(spark):
+    from document_ai_spark.functions.url import registered_domain_psl
+
+    psl = spark.createDataFrame(
+        [("co.uk",), ("com",), ("org",), ("github.io",), ("uk",)],
+        ["suffix"],
+    )
+    rows = [
+        ("https://news.bbc.co.uk/story",),     # longest match co.uk
+        ("https://a.b.example.com/x",),        # com -> example.com
+        ("https://user.github.io/repo",),      # github.io -> user.github.io
+        ("https://host.internal/x",),          # no PSL hit -> heuristic
+        ("https://example.org/",),             # suffix == whole host - 1
+    ]
+    df = spark.createDataFrame(rows, ["url"])
+    got = {r.url: r.domain
+           for r in registered_domain_psl(df, psl).collect()}
+    assert got["https://news.bbc.co.uk/story"] == "bbc.co.uk"
+    assert got["https://a.b.example.com/x"] == "example.com"
+    assert got["https://user.github.io/repo"] == "user.github.io"
+    assert got["https://host.internal/x"] == "host.internal"
+    assert got["https://example.org/"] == "example.org"
