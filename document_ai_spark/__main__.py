@@ -51,6 +51,21 @@ def cmd_extract(args) -> int:
 
     t_boot = time.time()
     spark = _spark(args)
+    if getattr(args, "input_format", "table") == "warc":
+        # Common Crawl's native archive format: the comma/glob list of
+        # .warc(.gz) paths becomes the distributed dataset (one file per
+        # task), parsed to the engine's pages shape
+        import glob as _glob
+
+        from document_ai_spark.sources.warc import warc_pages
+
+        paths: list[str] = []
+        for pat in args.input.split(","):
+            paths.extend(sorted(_glob.glob(pat)) or [pat])
+
+        def read_pages(spark, _input):  # noqa: F811 — warc-backed source
+            return warc_pages(spark, paths)
+
     # Warm the JVM (codegen, output committer) and spawn the Python workers
     # on all cores before the measured window — on a real cluster these
     # one-time costs amortize over hours; a benchmark run must not count
@@ -276,7 +291,11 @@ def main(argv: list[str] | None = None) -> int:
     d.set_defaults(fn=cmd_datagen)
 
     e = sub.add_parser("extract", help="run the extraction job (resumable)")
-    e.add_argument("--input", required=True, help="pages parquet/iceberg")
+    e.add_argument("--input", required=True,
+                   help="pages parquet/iceberg, or with --input-format "
+                   "warc a comma/glob list of .warc(.gz) paths")
+    e.add_argument("--input-format", choices=("table", "warc"),
+                   default="table")
     e.add_argument("--output", required=True)
     e.add_argument("--n-shards", type=int, default=16)
     e.add_argument("--shards-per-commit", type=int, default=4)
