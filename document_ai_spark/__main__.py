@@ -179,6 +179,17 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_wet(args) -> int:
+    """Export an extracted table as Common Crawl WET archives
+    (.warc.wet.gz, one conversion record per document)."""
+    from document_ai_spark.sources.wet import write_wet
+
+    spark = _spark(args)
+    stats = write_wet(spark.read.parquet(args.extracted), args.output)
+    print(json.dumps({**stats, "out_dir": args.output}))
+    return 0
+
+
 def cmd_hosts(args) -> int:
     """Per-registered-domain crawl stats over an extracted table — the
     rollup an operator watches for a misbehaving host."""
@@ -327,6 +338,12 @@ def main(argv: list[str] | None = None) -> int:
         "event-time horizon before extraction, e.g. '1 hour'",
     )
     i.set_defaults(fn=cmd_ingest)
+
+    wt = sub.add_parser("wet", help="export extracted text as Common "
+                        "Crawl WET archives")
+    wt.add_argument("--extracted", required=True)
+    wt.add_argument("--output", required=True)
+    wt.set_defaults(fn=cmd_wet)
 
     h = sub.add_parser("hosts", help="per-registered-domain crawl stats "
                        "over an extracted table")

@@ -44,8 +44,10 @@ WARC_PAGES_SCHEMA = T.StructType(
 )
 
 
-def _parse_warc_stream(fh, name: str) -> Iterator[tuple]:
-    """Yield (url, warc_ts, html, name, ok, err) per response record.
+def _parse_warc_stream(fh, name: str,
+                       record_type: bytes = b"response") -> Iterator[tuple]:
+    """Yield (url, warc_ts, payload-body, name, ok, err) per record of
+    `record_type` ('response' for WARC crawls, 'conversion' for WET).
     Total: malformed records yield an error row and scanning continues at
     the next well-formed header."""
     while True:
@@ -77,10 +79,11 @@ def _parse_warc_stream(fh, name: str) -> Iterator[tuple]:
         if len(payload) < length:
             yield (None, None, None, name, False, "truncated_record")
             return
-        fh.readline()  # record-terminating CRLFs
-        fh.readline()
-        if headers.get(b"warc-type", b"").lower() != b"response":
-            continue  # request/metadata/warcinfo records carry no page
+        # record-terminating CRLFs are consumed by the outer loop's
+        # blank-line skip — reading them here would eat the next record's
+        # header when a malformed record omits its separators
+        if headers.get(b"warc-type", b"").lower() != record_type:
+            continue  # other record types carry no page for this reader
         uri = headers.get(b"warc-target-uri", b"").decode(
             "utf-8", "replace"
         )
@@ -91,16 +94,19 @@ def _parse_warc_stream(fh, name: str) -> Iterator[tuple]:
             ts = ts.replace(tzinfo=None)
         except ValueError:
             pass
-        # HTTP response payload: headers end at the first CRLFCRLF
-        sep = payload.find(b"\r\n\r\n")
-        body = payload[sep + 4 :] if sep >= 0 else payload
+        if record_type == b"response":
+            # HTTP response payload: headers end at the first CRLFCRLF
+            sep = payload.find(b"\r\n\r\n")
+            body = payload[sep + 4 :] if sep >= 0 else payload
+        else:
+            body = payload  # conversion (WET) payloads are bare text
         if not uri or ts is None:
             yield (None, None, None, name, False, "missing_warc_headers")
             continue
         yield (uri, ts, body, name, True, "")
 
 
-def _read_warc_batches(it):
+def _read_warc_batches(it, record_type: bytes = b"response"):
     import pyarrow as pa
 
     def flush(rows):
@@ -126,7 +132,7 @@ def _read_warc_batches(it):
                     if path.endswith(".gz")
                     else io.BufferedReader(raw)
                 )
-                for rec in _parse_warc_stream(fh, path):
+                for rec in _parse_warc_stream(fh, path, record_type):
                     rows.append(rec)
                     if len(rows) >= BATCH_RECORDS:
                         yield flush(rows)
@@ -142,16 +148,24 @@ def _read_warc_batches(it):
 
 
 def read_warc(spark: SparkSession, paths: list[str],
-              num_partitions: int | None = None) -> DataFrame:
+              num_partitions: int | None = None,
+              record_type: str = "response") -> DataFrame:
     """WARC file paths -> pages DataFrame (WARC_PAGES_SCHEMA). Good rows
     (`record_ok`) match the engine's pages schema columns (url, warc_ts,
-    html); error rows carry the file + reason for lineage."""
+    html); error rows carry the file + reason for lineage.
+    `record_type='conversion'` reads WET archives (html carries the bare
+    extracted text bytes)."""
     files = spark.createDataFrame([(p,) for p in paths], ["path"])
     n = num_partitions or min(
         len(paths), spark.sparkContext.defaultParallelism
     )
+    rt = record_type.encode()
+
+    def gen(it):
+        yield from _read_warc_batches(it, rt)
+
     return files.repartition(n).mapInArrow(
-        _read_warc_batches, schema=WARC_PAGES_SCHEMA
+        gen, schema=WARC_PAGES_SCHEMA
     )
 
 

@@ -124,3 +124,31 @@ def test_cli_extract_from_warc(spark, corpus_dir, tmp_path, capsys):
     assert res["docs_total"] == 21
     got = spark.read.parquet(out)
     assert got.select("url").distinct().count() == 20
+
+
+def test_wet_sink_roundtrip(spark, corpus_dir, tmp_path):
+    """extract -> write_wet -> read_wet: extracted text survives the WET
+    container exactly; commit leaves only final files + _SUCCESS."""
+    from document_ai_spark.operators.extraction import extract_pages
+    from document_ai_spark.sources.wet import read_wet, write_wet
+
+    pages = spark.read.parquet(
+        os.path.join(corpus_dir, "pages.parquet")
+    ).orderBy("url").limit(50)
+    ex = extract_pages(pages, num_partitions=3).cache()
+    out = str(tmp_path / "wet")
+    stats = write_wet(ex, out)
+    assert stats["records"] == 50 and stats["files"] >= 1
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert all(n == "_SUCCESS" or n.endswith(".warc.wet.gz")
+               for n in names)  # staging dir cleaned up
+
+    back = read_wet(spark, [
+        os.path.join(out, n) for n in names if n.endswith(".gz")
+    ])
+    assert back.count() == 50
+    orig = {r.url: r.main_text for r in ex.collect()}
+    for r in back.collect():
+        assert r.text == orig[r.url], r.url
