@@ -204,7 +204,8 @@ def test_streaming_dedup_with_watermark(spark, tmp_path):
     in_dir = str(tmp_path / "dd")
     os.makedirs(in_dir)
 
-    def w(name, rows):
+    def w(name, rows, mtime):
+        path = os.path.join(in_dir, name)
         pq.write_table(
             pa.table({
                 "url": pa.array([r[0] for r in rows], pa.string()),
@@ -212,11 +213,15 @@ def test_streaming_dedup_with_watermark(spark, tmp_path):
                                pa.timestamp("us", tz="UTC")),
                 "rev": pa.array([r[2] for r in rows], pa.int64()),
             }),
-            os.path.join(in_dir, name),
+            path,
         )
+        # distinct mtimes pin micro-batch ORDER (the file source sorts by
+        # modification time; sub-second writes tie nondeterministically)
+        os.utime(path, (mtime, mtime))
 
-    w("b1.parquet", [("u/a", T0, 1), ("u/b", T0 + 1, 1)])
-    w("b2.parquet", [("u/a", T0 + 2, 2), ("u/c", T0 + 3, 1)])  # dup u/a
+    w("b1.parquet", [("u/a", T0, 1), ("u/b", T0 + 1, 1)], 1_700_000_000)
+    w("b2.parquet", [("u/a", T0 + 2, 2), ("u/c", T0 + 3, 1)],
+      1_700_000_100)  # dup u/a
 
     stream = (
         spark.readStream.schema("url string, ts timestamp, rev long")
