@@ -190,6 +190,22 @@ def cmd_wet(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export an extracted (or curated) table as gzip JSONL shards — the
+    record shape LLM training loaders consume."""
+    from document_ai_spark.sources.jsonl import write_jsonl
+
+    spark = _spark(args)
+    meta = tuple(
+        m.strip() for m in (args.meta or "").split(",") if m.strip()
+    )
+    stats = write_jsonl(
+        spark.read.parquet(args.extracted), args.output, meta_cols=meta
+    )
+    print(json.dumps({**stats, "out_dir": args.output}))
+    return 0
+
+
 def cmd_hosts(args) -> int:
     """Per-registered-domain crawl stats over an extracted table — the
     rollup an operator watches for a misbehaving host."""
@@ -344,6 +360,14 @@ def main(argv: list[str] | None = None) -> int:
     wt.add_argument("--extracted", required=True)
     wt.add_argument("--output", required=True)
     wt.set_defaults(fn=cmd_wet)
+
+    x = sub.add_parser("export", help="export extracted text as gzip "
+                       "JSONL training shards")
+    x.add_argument("--extracted", required=True)
+    x.add_argument("--output", required=True)
+    x.add_argument("--meta", default="charset,n_blocks",
+                   help="comma list of extra columns for the meta object")
+    x.set_defaults(fn=cmd_export)
 
     h = sub.add_parser("hosts", help="per-registered-domain crawl stats "
                        "over an extracted table")

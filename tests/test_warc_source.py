@@ -152,3 +152,34 @@ def test_wet_sink_roundtrip(spark, corpus_dir, tmp_path):
     orig = {r.url: r.main_text for r in ex.collect()}
     for r in back.collect():
         assert r.text == orig[r.url], r.url
+
+
+def test_jsonl_export_roundtrip(spark, corpus_dir, tmp_path, capsys):
+    """extract -> export (gzip JSONL shards) -> spark.read.json: text and
+    meta survive; the stock reader decodes the per-record gzip members."""
+    import json
+
+    from document_ai_spark.__main__ import main
+    from document_ai_spark.operators.extraction import extract_pages
+
+    pages = spark.read.parquet(
+        os.path.join(corpus_dir, "pages.parquet")
+    ).orderBy("url").limit(30)
+    src = str(tmp_path / "ex")
+    extract_pages(pages, num_partitions=3).write.parquet(src)
+    out = str(tmp_path / "shards")
+    rc = main(["export", "--extracted", src, "--output", out])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and res["records"] == 30
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    shards = [os.path.join(out, n) for n in names if n.endswith(".jsonl.gz")]
+    assert shards
+    back = spark.read.json(shards)
+    assert back.count() == 30
+    orig = {r.url: r.main_text
+            for r in spark.read.parquet(src).collect()}
+    for r in back.collect():
+        assert r.text == orig[r.url]
+        assert r.meta.charset  # meta columns carried through
