@@ -54,7 +54,11 @@ def cmd_extract(args) -> int:
     if getattr(args, "input_format", "table") == "warc":
         # Common Crawl's native archive format: the comma/glob list of
         # .warc(.gz) paths becomes the distributed dataset (one file per
-        # task), parsed to the engine's pages shape
+        # task), parsed to the engine's pages shape. The parse is
+        # MATERIALIZED to parquet once before sharding: run_extraction_job
+        # re-evaluates its source per shard chunk, which would re-parse
+        # every archive ceil(n_shards/shards_per_commit)+1 times (r3
+        # review finding)
         import glob as _glob
 
         from document_ai_spark.sources.warc import warc_pages
@@ -62,9 +66,13 @@ def cmd_extract(args) -> int:
         paths: list[str] = []
         for pat in args.input.split(","):
             paths.extend(sorted(_glob.glob(pat)) or [pat])
+        staged_pages = f"{args.output.rstrip('/')}/_warc_pages"
+        warc_pages(spark, paths).write.mode("overwrite").parquet(
+            staged_pages
+        )
 
         def read_pages(spark, _input):  # noqa: F811 — warc-backed source
-            return warc_pages(spark, paths)
+            return spark.read.parquet(staged_pages)
 
     # Warm the JVM (codegen, output committer) and spawn the Python workers
     # on all cores before the measured window — on a real cluster these
@@ -95,6 +103,12 @@ def cmd_extract(args) -> int:
         shards_per_commit=args.shards_per_commit,
         run_id=args.run_id,
     )
+    if getattr(args, "input_format", "table") == "warc":
+        # the staged page parquet served its purpose (one parse, many
+        # shard chunks); html payloads are too big to keep around
+        import shutil as _shutil
+
+        _shutil.rmtree(staged_pages, ignore_errors=True)
     print(f"[extract] job done at +{time.time() - t0:.1f}s", file=sys.stderr)
     # totals from the lineage table (tiny) — no extra scan of the output;
     # latest lineage row per shard wins (a shard redone after a crash may

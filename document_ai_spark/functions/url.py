@@ -91,19 +91,22 @@ def with_url_columns(df, url_col: str = "url"):
             .otherwise(F.col("_authority")),
         )
         .withColumn("_tail", F.regexp_replace("_tail", r"#.*$", ""))
-        .withColumn(
-            "_tail",
-            F.regexp_replace(
-                "_tail", r"([?&])(utm_[^=&]*|gclid|fbclid)=[^&]*", r"$1"
-            ),
-        )
-        .withColumn("_tail", F.regexp_replace("_tail", r"\?&+", "?"))
-        .withColumn("_tail", F.regexp_replace("_tail", r"&&+", "&"))
-        .withColumn("_tail", F.regexp_replace("_tail", r"[?&]+$", ""))
         .withColumn("_path", F.regexp_extract("_tail", r"^([^?]*)", 1))
         .withColumn(
             "_query", F.expr("substring(_tail, length(_path) + 1)")
         )
+        # tracking-param strip applies to the QUERY only: '&' is a legal
+        # path-segment character, and matching over the whole tail let a
+        # literal '&utm_...=' inside the path swallow the rest of the url
+        .withColumn(
+            "_query",
+            F.regexp_replace(
+                "_query", r"([?&])(utm_[^=&]*|gclid|fbclid)=[^&]*", r"$1"
+            ),
+        )
+        .withColumn("_query", F.regexp_replace("_query", r"\?&+", "?"))
+        .withColumn("_query", F.regexp_replace("_query", r"&&+", "&"))
+        .withColumn("_query", F.regexp_replace("_query", r"[?&]+$", ""))
         .withColumn("_path", F.regexp_replace("_path", r"//+", "/"))
         .withColumn(
             "url_norm",

@@ -100,12 +100,18 @@ def _normalize(fragments: list[str]) -> str:
 def tokenize_blocks(text: str) -> list[Block]:
     """Segment decoded markup into feature blocks in document order.
 
-    Hot path of the whole engine (89% of kernel time in the r3 profile) —
-    micro-optimized without any policy change (goldens stay byte-exact):
-    the empty-buffer flush is inlined at the call sites, entity unescape is
-    skipped when no '&' is present (same result: unescape is the identity
-    then), n_words counts separators instead of re-splitting the
-    already-normalized text, and the hot globals are bound to locals.
+    r3 changes, for the freeze audit:
+    - ONE sanctioned policy change (ADVICE r2, regression-tested): a
+      trailing '/' in the attrs group self-closes only as a standalone
+      token — an unquoted attribute value ending in '/' (href=http://x/)
+      no longer reads as <tag/>. Construction goldens (quoted attrs) are
+      unaffected; datagen's self-check and the old-vs-new 3600-doc sweep
+      confirmed byte-identical output on the corpus.
+    - Micro-optimizations with NO behavior change (this is the hot path:
+      89% of kernel time in the r3 profile): empty-buffer flush inlined
+      at call sites, entity unescape skipped when no '&' present, n_words
+      counts separators instead of re-splitting, hot globals bound to
+      locals.
     """
     blocks: list[Block] = []
     frags: list[str] = []

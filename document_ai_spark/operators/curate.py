@@ -100,8 +100,6 @@ def neardup_keeper_flags(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_hashes: int = 8,
-    n_bands: int = 4,
 ) -> DataFrame:
     """Fuzzy-dedup stage (r3): MinHash signatures -> LSH band buckets ->
     candidate pairs -> connected components -> keeper = min id per cluster.
@@ -109,46 +107,16 @@ def neardup_keeper_flags(
     pass). Production funnels dedup fuzzily, not just exactly — this is
     the cluster-keeper composition as a funnel stage.
 
-    Scale shape: the bucketed band self-join is the only pair generator
-    (never all-pairs); components converge in O(log diameter) rounds of
-    hash joins (operators/similarity.connected_components)."""
-    from ..queries_base import _norm_words, _shingles
+    The pair generator is the SHARED builder (queries_base.
+    minhash_band_pairs): the funnel's DuckDB oracle composes
+    _sql_minhash_core, so one Spark-side construction must back both the
+    documents-table queries and this engine or the oracles silently
+    drift. Components converge in O(log diameter) rounds of hash joins
+    (operators/similarity.connected_components)."""
+    from ..queries_base import minhash_band_pairs
     from .similarity import dedup_clusters
 
-    ids = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    sh = (
-        ids.withColumn("words", _norm_words("_t"))
-        .select("_id", F.explode(_shingles(F.col("words"))).alias("shingle"))
-        .distinct()
-    )
-    aggs = [
-        F.min(
-            F.md5(
-                F.encode(F.concat_ws(":", F.lit(str(j)), "shingle"), "UTF-8")
-            )
-        ).alias(f"mh_{j}")
-        for j in range(n_hashes)
-    ]
-    sig = sh.groupBy("_id").agg(*aggs)
-    bands = sig.select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat(F.col(f"mh_{2 * b}"), F.col(f"mh_{2 * b + 1}"))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_no", "band_key"),
-    )
-    a = bands.select(F.col("_id").alias("doc_a"), "band_no", "band_key")
-    b2 = bands.select(F.col("_id").alias("doc_b"), "band_no", "band_key")
-    pairs = (
-        a.join(b2, ["band_no", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    pairs = minhash_band_pairs(df, id_col=id_col, text_col=text_col)
     clusters = dedup_clusters(pairs)
     nd = clusters.select(
         F.col("doc_id").alias("_id"), F.col("is_keeper")

@@ -123,13 +123,21 @@ def canonical_dedup(pages: DataFrame) -> DataFrame:
     (warc_ts, url)). The dedup key is the normalized canonical URL when
     the page declares an absolute one, else the page's own normalized
     URL — composing the head-region scan with the URL canonicalization
-    policy (functions/url.py). One flag pass + one uniform-key window."""
+    policy (functions/url.py). One flag pass + one uniform-key window.
+
+    The flag side is aggregated to ONE deterministic row per url (max
+    canonical) before the join: re-crawled urls otherwise fan out k^2
+    rows and can emit the same url under two different keys."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
     from ..functions.url import with_url_columns
 
-    flags = page_flags(pages).select("url", "canonical_url")
+    flags = (
+        page_flags(pages)
+        .groupBy("url")
+        .agg(F.max("canonical_url").alias("canonical_url"))
+    )
     j = pages.join(flags, "url", "left")
     chosen = F.when(
         F.col("canonical_url").rlike(r"^https?://"),

@@ -32,6 +32,56 @@ def _shingles(words: F.Column) -> F.Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+N_MINHASH = 8
+N_BANDS = 4  # 2 hashes per band
+
+
+def minhash_band_pairs(df, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Generic MinHash + LSH candidate-pair builder over any
+    (id, text) frame — ONE frozen construction (md5('j:'||shingle)
+    minima, 2 hashes per band) shared by the documents-table queries
+    (queries_ml) and the curation engine (operators/curate), so the
+    DuckDB oracle twin (_sql_minhash_core) can never drift from one copy
+    while the other is updated. Returns (doc_a, doc_b) candidate pairs
+    from the bucketed band self-join (never all-pairs)."""
+    ids = df.select(F.col(id_col).alias("_id"),
+                    F.col(text_col).alias("text"))
+    sh = (
+        ids.withColumn("words", _norm_words())
+        .select("_id", F.explode(_shingles(F.col("words"))).alias("shingle"))
+        .distinct()
+    )
+    aggs = [
+        F.min(
+            F.md5(
+                F.encode(F.concat_ws(":", F.lit(str(j)), "shingle"), "UTF-8")
+            )
+        ).alias(f"mh_{j}")
+        for j in range(N_MINHASH)
+    ]
+    sig = sh.groupBy("_id").agg(*aggs)
+    bands = sig.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(F.col(f"mh_{2 * b}"), F.col(f"mh_{2 * b + 1}"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_no", "band_key"),
+    )
+    a = bands.select(F.col("_id").alias("doc_a"), "band_no", "band_key")
+    b2 = bands.select(F.col("_id").alias("doc_b"), "band_no", "band_key")
+    return (
+        a.join(b2, ["band_no", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 _SQL_WORDS = "str_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
 _SQL_WORDS_CTE = f"SELECT doc_id, {_SQL_WORDS} AS words FROM documents"
 _SQL_SHINGLES_FROM_WORDS = """

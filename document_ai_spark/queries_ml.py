@@ -31,16 +31,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .queries import _t
-
-N_MINHASH = 8
-N_BANDS = 4  # 2 hashes per band
-
-from .queries_base import (  # noqa: E402
+from .queries_base import (
     _norm_words,
     _shingles,
     _SQL_SHINGLES_FROM_WORDS,
     _SQL_WORDS,
     _SQL_WORDS_CTE,
+    minhash_band_pairs,
+    N_BANDS,
+    N_MINHASH,
 )
 
 # text-analysis operators live in queries_text; re-exported here so the
@@ -166,26 +165,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of per-band selects re-plans the whole signature computation per
     branch per join side (8 scans of the corpus, measured); the explode
     form computes signatures once per side and the self-join's identical
-    shuffle children are deduplicated by ReuseExchange."""
-    sig = q_minhash_signatures(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])
-        ).alias("band_no", "band_key"),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_no", "band_key"
-    )
-    bb = bands.select(
-        F.col("doc_id").alias("doc_b"), "band_no", "band_key"
-    )
-    return (
-        a.join(bb, ["band_no", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    shuffle children are deduplicated by ReuseExchange. The construction
+    is the SHARED builder (queries_base.minhash_band_pairs) also backing
+    the curation engine's near-dup stage — one Spark-side impl per DuckDB
+    oracle core."""
+    return minhash_band_pairs(_t(spark, sf_dir, "documents"))
 
 
 SQL_MINHASH_LSH_PAIRS = f"""

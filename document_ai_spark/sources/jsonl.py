@@ -39,7 +39,11 @@ def write_jsonl(
         }
         if meta_cols:
             obj["meta"] = {k: v for k, v in zip(meta_cols, row[3:])}
-        line = json.dumps(obj, ensure_ascii=False).encode("utf-8") + b"\n"
+        # default=str keeps the sink total: timestamp/binary/decimal meta
+        # columns serialize as strings instead of failing the task
+        line = json.dumps(
+            obj, ensure_ascii=False, default=str
+        ).encode("utf-8") + b"\n"
         return gzip.compress(line)
 
     return staged_write(sel, out_dir, rec, ".jsonl.gz")

@@ -45,9 +45,24 @@ def staged_write(
 
     `record_fn(row_tuple) -> bytes` serializes one row (already framed —
     e.g. a gzip member, a newline-terminated JSON line). Returns
-    {files, records, bytes}."""
+    {files, records, bytes}.
+
+    Overwrite semantics: any prior commit in `out_dir` (part files with
+    this extension, `_SUCCESS`) is removed BEFORE writing — a re-export
+    with fewer partitions must not leave stale shards from the previous
+    run under a fresh commit marker. The staging dir is unique per run so
+    concurrent writers to the same directory cannot delete each other's
+    staged files (last committer still wins the final rename)."""
     os.makedirs(out_dir, exist_ok=True)
-    stage = os.path.join(out_dir, _STAGE_DIR)
+    for name in os.listdir(out_dir):
+        if name == "_SUCCESS" or (
+            name.startswith("part-") and name.endswith(ext)
+        ):
+            try:
+                os.remove(os.path.join(out_dir, name))
+            except OSError:
+                pass
+    stage = os.path.join(out_dir, f"{_STAGE_DIR}-{_uuid.uuid4().hex}")
     os.makedirs(stage, exist_ok=True)
 
     def gen(it):

@@ -91,6 +91,11 @@ def _parse_warc_stream(fh, name: str,
         try:
             raw_date = headers.get(b"warc-date", b"").decode("ascii")
             ts = dt.datetime.fromisoformat(raw_date.replace("Z", "+00:00"))
+            if ts.tzinfo is not None:
+                # convert non-UTC offsets (they occur in real archives)
+                # instead of stripping them — a +02:00 record otherwise
+                # shifts event time by two hours
+                ts = ts.astimezone(dt.timezone.utc)
             ts = ts.replace(tzinfo=None)
         except ValueError:
             pass
@@ -126,18 +131,20 @@ def _read_warc_batches(it, record_type: bytes = b"response"):
         for path in b.column(0).to_pylist():
             rows: list[tuple] = []
             try:
-                raw = open(path, "rb")
-                fh = (
-                    gzip.GzipFile(fileobj=raw)
-                    if path.endswith(".gz")
-                    else io.BufferedReader(raw)
-                )
-                for rec in _parse_warc_stream(fh, path, record_type):
-                    rows.append(rec)
-                    if len(rows) >= BATCH_RECORDS:
-                        yield flush(rows)
-                        rows = []
-                fh.close()
+                # `with` closes the RAW descriptor too — GzipFile.close()
+                # alone leaves it open (fd leak across many archives),
+                # and a mid-parse exception must not leak it either
+                with open(path, "rb") as raw:
+                    fh = (
+                        gzip.GzipFile(fileobj=raw)
+                        if path.endswith(".gz")
+                        else io.BufferedReader(raw)
+                    )
+                    for rec in _parse_warc_stream(fh, path, record_type):
+                        rows.append(rec)
+                        if len(rows) >= BATCH_RECORDS:
+                            yield flush(rows)
+                            rows = []
             except Exception as exc:  # error row, never task failure
                 rows.append(
                     (None, None, None, path, False,
@@ -155,9 +162,13 @@ def read_warc(spark: SparkSession, paths: list[str],
     html); error rows carry the file + reason for lineage.
     `record_type='conversion'` reads WET archives (html carries the bare
     extracted text bytes)."""
+    if not paths:  # empty manifest -> empty frame, not an analysis error
+        return spark.createDataFrame([], schema=WARC_PAGES_SCHEMA)
     files = spark.createDataFrame([(p,) for p in paths], ["path"])
-    n = num_partitions or min(
-        len(paths), spark.sparkContext.defaultParallelism
+    n = max(
+        1,
+        num_partitions
+        or min(len(paths), spark.sparkContext.defaultParallelism),
     )
     rt = record_type.encode()
 

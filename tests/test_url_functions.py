@@ -34,6 +34,13 @@ CASES = [
      "example.org"),
     ("https://example.com:8443/keepport",
      "https://example.com:8443/keepport", "example.com", "example.com"),
+    # '&' is legal inside a path segment: the tracking strip must not
+    # swallow the rest of the path or the real query (r3 review finding)
+    ("https://example.com/p&utm_source=mail/more?q=1",
+     "https://example.com/p&utm_source=mail/more?q=1", "example.com",
+     "example.com"),
+    ("https://example.com/x?utm_source=a",
+     "https://example.com/x", "example.com", "example.com"),
 ]
 
 
