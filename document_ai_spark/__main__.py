@@ -96,6 +96,12 @@ def cmd_extract(args) -> int:
     t0 = time.time()
     print(f"[extract] session+warmup in {t0 - t_boot:.1f}s", file=sys.stderr)
     pages = read_pages(spark, args.input)
+    if getattr(args, "respect_noindex", False):
+        # polite-pipeline gate: drop pages whose head region declares
+        # robots noindex before paying the extraction kernel
+        from document_ai_spark.operators.pageflags import indexable_pages
+
+        pages = indexable_pages(pages)
     summary = run_extraction_job(
         pages,
         args.output,
@@ -341,6 +347,9 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--n-shards", type=int, default=16)
     e.add_argument("--shards-per-commit", type=int, default=4)
     e.add_argument("--run-id", default=None)
+    e.add_argument("--respect-noindex", action="store_true",
+                   help="drop pages whose head region declares robots "
+                   "noindex before extraction")
     e.set_defaults(fn=cmd_extract)
 
     k = sub.add_parser("compact", help="rewrite table into size-targeted files")

@@ -156,3 +156,43 @@ def test_canonical_dedup(spark):
         "https://other.example.com/solo",
         "https://rel.example.com/r",
     }
+
+
+def test_cli_extract_respect_noindex(spark, tmp_path, capsys):
+    """extract --respect-noindex drops noindex pages before the kernel."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_ai_spark.__main__ import main
+
+    body = (b"<html><body><p>alpha beta gamma delta epsilon zeta eta "
+            b"theta iota kappa lambda mu</p></body></html>")
+    blocked = (b'<html><head><meta name="robots" content="noindex">'
+               b"</head><body><p>secret words here</p></body></html>")
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [(f"https://s.example/{i}", t0, body) for i in range(8)]
+    rows += [(f"https://s.example/blocked/{i}", t0, blocked)
+             for i in range(4)]
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(
+        pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows],
+                                pa.timestamp("us", tz="UTC")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.array([""] * len(rows)),
+            "lang": pa.array(["en"] * len(rows)),
+        }),
+        src,
+    )
+    out = str(tmp_path / "ex")
+    rc = main([
+        "extract", "--input", src, "--output", out,
+        "--n-shards", "2", "--shards-per-commit", "2",
+        "--respect-noindex",
+    ])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert res["docs_total"] == 8  # the 4 noindex pages never extracted
