@@ -83,7 +83,12 @@ def _flag_batches(batches):
     import pyarrow as pa
 
     for b in batches:
-        urls = b.column(b.schema.get_field_index("url"))
+        keep = [
+            b.column(i)
+            for i, f in enumerate(b.schema)
+            if f.name != "html"
+        ]
+        keep_names = [f.name for f in b.schema if f.name != "html"]
         htmls = b.column(b.schema.get_field_index("html")).to_pylist()
         ni: list[bool] = []
         nf: list[bool] = []
@@ -95,26 +100,50 @@ def _flag_batches(batches):
             cu.append(d)
         yield pa.RecordBatch.from_arrays(
             [
-                urls,
+                *keep,
                 pa.array(ni, pa.bool_()),
                 pa.array(nf, pa.bool_()),
                 pa.array(cu, pa.string()),
             ],
-            names=[f.name for f in PAGE_FLAGS_SCHEMA.fields],
+            names=[*keep_names, "noindex", "nofollow", "canonical_url"],
         )
 
 
-def page_flags(pages: DataFrame) -> DataFrame:
-    """pages(url, html, ...) -> (url, noindex, nofollow, canonical_url)."""
-    cols = pages.select("url", "html")  # prune before Arrow
-    return cols.mapInArrow(_flag_batches, schema=PAGE_FLAGS_SCHEMA)
+def page_flags(pages: DataFrame, key_cols: tuple[str, ...] = ()) -> DataFrame:
+    """pages(url, html, ...) -> (url[, *key_cols], noindex, nofollow,
+    canonical_url). `key_cols` are extra columns carried through the Arrow
+    stage untouched — e.g. a per-row key so a caller can gate individual
+    crawl rows instead of whole urls."""
+    cols = pages.select("url", *key_cols, "html")  # prune before Arrow
+    schema = T.StructType(
+        [cols.schema["url"]]
+        + [cols.schema[k] for k in key_cols]
+        + [
+            T.StructField("noindex", T.BooleanType()),
+            T.StructField("nofollow", T.BooleanType()),
+            T.StructField("canonical_url", T.StringType()),
+        ]
+    )
+    return cols.mapInArrow(_flag_batches, schema=schema)
 
 
 def indexable_pages(pages: DataFrame) -> DataFrame:
-    """Filter pages a polite corpus may ingest: left-semi against the
-    noindex=false flag rows (the pre-extraction policy gate)."""
-    ok = page_flags(pages).filter("NOT noindex").select("url")
-    return pages.join(ok, "url", "left_semi")
+    """Filter pages a polite corpus may ingest (the pre-extraction policy
+    gate). Gated PER CRAWL ROW, not per url: a url re-crawled with mixed
+    flags (older row indexable, newer row noindex) keeps only the rows
+    whose own head region allows indexing — a url-keyed semi join would
+    keep every row whenever any row passed. The row key is the content
+    hash, so identical (url, html) rows share one verdict."""
+    from pyspark.sql import functions as F
+
+    keyed = pages.withColumn("_pk", F.xxhash64("url", "html"))
+    ok = (
+        page_flags(keyed, key_cols=("_pk",))
+        .filter("NOT noindex")
+        .select("_pk")
+        .distinct()
+    )
+    return keyed.join(ok, "_pk", "left_semi").drop("_pk")
 
 
 def canonical_dedup(pages: DataFrame) -> DataFrame:

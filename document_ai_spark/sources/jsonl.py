@@ -1,6 +1,8 @@
 """JSONL.gz training-data exporter — the shard format LLM training
-loaders actually consume: one JSON object per line, gzip members per
-record so shards stream-decode, files committed through the shared
+loaders actually consume: one JSON object per line, the whole shard
+compressed as ONE gzip stream (cross-record compression context; a gzip
+member per ~100-byte record costs ~25 header/trailer bytes each and can
+exceed the uncompressed size), files committed through the shared
 two-phase staged writer (sources/staged.py).
 
 Default record shape follows the common pretraining convention:
@@ -9,7 +11,6 @@ Default record shape follows the common pretraining convention:
 
 from __future__ import annotations
 
-import gzip
 import json
 
 from pyspark.sql import DataFrame
@@ -41,15 +42,14 @@ def write_jsonl(
             obj["meta"] = {k: v for k, v in zip(meta_cols, row[3:])}
         # default=str keeps the sink total: timestamp/binary/decimal meta
         # columns serialize as strings instead of failing the task
-        line = json.dumps(
+        return json.dumps(
             obj, ensure_ascii=False, default=str
         ).encode("utf-8") + b"\n"
-        return gzip.compress(line)
 
-    return staged_write(sel, out_dir, rec, ".jsonl.gz")
+    return staged_write(sel, out_dir, rec, ".jsonl.gz", stream_gzip=True)
 
 
 def read_jsonl(spark, paths: list[str]) -> DataFrame:
-    """Readback twin: Spark's json reader decodes multi-member gzip
-    natively, so shards load with the stock `spark.read.json`."""
+    """Readback twin: Spark's json reader decodes gzip natively, so
+    shards load with the stock `spark.read.json`."""
     return spark.read.json(list(paths))

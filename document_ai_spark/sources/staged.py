@@ -40,28 +40,28 @@ def staged_write(
     out_dir: str,
     record_fn: Callable,
     ext: str,
+    stream_gzip: bool = False,
 ) -> dict:
     """Write `df` as one file per partition under `out_dir`.
 
     `record_fn(row_tuple) -> bytes` serializes one row (already framed —
-    e.g. a gzip member, a newline-terminated JSON line). Returns
-    {files, records, bytes}.
+    e.g. a gzip member, a newline-terminated JSON line). With
+    `stream_gzip=True` the whole partition file is ONE gzip stream
+    (record_fn then returns uncompressed bytes): cross-record compression
+    context, no ~25-byte member overhead per record — the shape training
+    shards actually use. Returns {files, records, bytes} (bytes = on-disk
+    size of the committed files).
 
-    Overwrite semantics: any prior commit in `out_dir` (part files with
-    this extension, `_SUCCESS`) is removed BEFORE writing — a re-export
-    with fewer partitions must not leave stale shards from the previous
-    run under a fresh commit marker. The staging dir is unique per run so
-    concurrent writers to the same directory cannot delete each other's
-    staged files (last committer still wins the final rename)."""
+    Overwrite semantics: the prior commit survives until THIS job
+    succeeds — stage first, then swap winners in, remove stale part files
+    from a previous (wider) commit, and only then drop the fresh
+    `_SUCCESS`. A failed re-export therefore leaves the previous data
+    intact (the old `_SUCCESS` is removed only at swap time, so readers
+    that check the marker never observe the mixed state). The staging dir
+    is unique per run so concurrent writers to the same directory cannot
+    delete each other's staged files (last committer still wins the final
+    rename)."""
     os.makedirs(out_dir, exist_ok=True)
-    for name in os.listdir(out_dir):
-        if name == "_SUCCESS" or (
-            name.startswith("part-") and name.endswith(ext)
-        ):
-            try:
-                os.remove(os.path.join(out_dir, name))
-            except OSError:
-                pass
     stage = os.path.join(out_dir, f"{_STAGE_DIR}-{_uuid.uuid4().hex}")
     os.makedirs(stage, exist_ok=True)
 
@@ -76,15 +76,26 @@ def staged_write(
             stage, f"{pid:05d}-{attempt}-{_uuid.uuid4().hex}.tmp"
         )
         n = 0
-        total = 0
-        with open(path, "wb") as f:
-            for b in it:
-                cols = [b.column(i).to_pylist() for i in range(b.num_columns)]
-                for row in zip(*cols):
-                    payload = record_fn(row)
-                    f.write(payload)
-                    n += 1
-                    total += len(payload)
+        with open(path, "wb") as raw:
+            if stream_gzip:
+                import gzip as _gzip
+
+                # mtime=0: deterministic output bytes for a given input
+                f = _gzip.GzipFile(fileobj=raw, mode="wb", mtime=0)
+            else:
+                f = raw
+            try:
+                for b in it:
+                    cols = [
+                        b.column(i).to_pylist() for i in range(b.num_columns)
+                    ]
+                    for row in zip(*cols):
+                        f.write(record_fn(row))
+                        n += 1
+            finally:
+                if stream_gzip:
+                    f.close()
+        total = os.path.getsize(path)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array([pid], pa.int32()),
@@ -100,19 +111,39 @@ def staged_write(
     by_pid: dict[int, list] = {}
     for r in stats:
         by_pid.setdefault(r.partition_id, []).append(r)
+    # the job succeeded: invalidate the old commit marker, swap winners
+    # over the old part files, drop stale parts a wider previous commit
+    # left behind, and only then write the fresh marker — a crash anywhere
+    # before this point leaves the previous commit fully intact
+    try:
+        os.remove(os.path.join(out_dir, "_SUCCESS"))
+    except OSError:
+        pass
     files = 0
     records = 0
     total_bytes = 0
+    written = set()
     for pid, attempts in sorted(by_pid.items()):
         winner = attempts[0]
         final = os.path.join(out_dir, f"part-{pid:05d}{ext}")
         os.replace(winner.staged_file, final)
+        written.add(os.path.basename(final))
         files += 1
         records += winner.records
         total_bytes += winner.bytes
         for lose in attempts[1:]:
             try:
                 os.remove(lose.staged_file)
+            except OSError:
+                pass
+    for name in os.listdir(out_dir):
+        if (
+            name.startswith("part-")
+            and name.endswith(ext)
+            and name not in written
+        ):
+            try:
+                os.remove(os.path.join(out_dir, name))
             except OSError:
                 pass
     shutil.rmtree(stage, ignore_errors=True)

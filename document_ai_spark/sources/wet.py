@@ -11,14 +11,21 @@ half-written commit.
 from __future__ import annotations
 
 import gzip
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .staged import staged_write
 
+_CTRL_RE = re.compile(r"[\x00-\x1f\x7f]")
+
 
 def _wet_record(url: str, ts, text: str) -> bytes:
+    # control characters in the url (possible when the extracted table
+    # came from a non-WARC source) would inject forged headers and break
+    # the CRLF record framing — strip them before building the block
+    url = _CTRL_RE.sub("", url or "")
     body = text.encode("utf-8")
     headers = (
         b"WARC/1.0\r\n"
