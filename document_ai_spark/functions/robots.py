@@ -1,22 +1,32 @@
 """robots.txt evaluation: which pages may a polite pipeline keep.
 
-`parse_robots` implements the core Robots Exclusion Protocol (RFC 9309):
-User-agent groups (most specific matching group wins: an exact agent
-token beats `*`; multiple agent lines share one group), Allow/Disallow
-path-prefix rules, longest-match-wins at query time with Allow winning
-length ties, empty Disallow meaning allow-all. Wildcard (`*`, `$`) path
-patterns are not modeled (documented; prefix rules dominate real files).
+`parse_robots` implements the Robots Exclusion Protocol (RFC 9309):
+User-agent groups with the most specific matching agent winning (an
+exact agent token beats `*`; multiple agent lines share one group; ALL
+groups naming the winning agent merge — RFC 9309 §2.2.1 says rules from
+groups with the same matched agent are combined), Allow/Disallow path
+rules with `*` (any run of characters) and trailing `$` (end anchor)
+wildcards per §2.2.3, longest-pattern-wins at query time with Allow
+winning length ties, empty Disallow meaning allow-all.
 
 The Spark side is join-shaped for crawl scale: robots files parse once
-per HOST into a (host, allow, prefix, prefix_len) rules table (one small
-python parse per host — robots files are KBs), pages join rules on host,
-prefix matches filter, and `max_by(struct(prefix_len, allow))` realizes
-longest-match-wins per url. Hosts without rules (or without a robots
-file) default to allowed.
+per HOST into a (host, allow, prefix, prefix_len, regex, has_wild)
+rules table (one small python parse per host — robots files are KBs),
+pages join rules on host with the path-match in the join condition,
+and `max_by(struct(prefix_len, allow))` realizes longest-match-wins per
+url. Literal rules (no wildcard — the overwhelming majority in real
+files) match via `startsWith`; only wildcard rules pay the per-row
+regex. Hosts without rules (or without a robots file) default to
+allowed.
+
+`robots_allowed(rules, path)` is the straight-line single-URL evaluator
+— the reference implementation the distributed gate is property-tested
+against (tests/test_robots_properties.py).
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,13 +40,40 @@ RULES_SCHEMA = T.StructType(
         T.StructField("allow", T.BooleanType()),
         T.StructField("prefix", T.StringType()),
         T.StructField("prefix_len", T.IntegerType()),
+        T.StructField("regex", T.StringType()),
+        T.StructField("has_wild", T.BooleanType()),
     ]
 )
+
+# regex metacharacters escaped in pattern translation — '*' and a
+# trailing '$' are the robots wildcards; everything else is literal.
+# The escape set is Java-and-Python safe (RLIKE runs Java regex).
+_RE_SPECIAL = set("\\.^$+?()[]{}|")
+
+
+def pattern_regex(pattern: str) -> str:
+    """Robots path pattern -> anchored regex, identical semantics in
+    Python `re` and Java (Spark RLIKE): '*' -> '.*', trailing '$' ->
+    end anchor, all else literal."""
+    end_anchor = pattern.endswith("$")
+    core = pattern[:-1] if end_anchor else pattern
+    out = ["^"]
+    for ch in core:
+        if ch == "*":
+            out.append(".*")
+        elif ch in _RE_SPECIAL:
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    if end_anchor:
+        out.append("$")
+    return "".join(out)
 
 
 def parse_robots(content: bytes | str, user_agent: str = "*"
                  ) -> list[tuple[bool, str]]:
-    """robots.txt bytes -> [(allow, path_prefix)] for `user_agent`.
+    """robots.txt bytes -> [(allow, path_pattern)] for `user_agent`.
+    Rules from EVERY group naming the winning agent are merged.
     Total: undecodable/garbage lines are skipped."""
     if isinstance(content, bytes):
         text = content.decode("utf-8", "replace")
@@ -70,12 +107,28 @@ def parse_robots(content: bytes | str, user_agent: str = "*"
                 cur_rules.append((field == "allow", value))
     if cur_agents:
         groups.append((cur_agents, cur_rules))
-    # most specific matching group: exact agent token beats '*'
-    exact = [r for agents, r in groups if ua in agents]
-    if exact:
-        return exact[0]
-    star = [r for agents, r in groups if "*" in agents]
-    return star[0] if star else []
+    # most specific matching agent: exact token beats '*'; ALL groups
+    # naming that agent merge (taking only the first group kept later
+    # groups' Disallows silently allowed — the r3 advice finding)
+    merged = [r for agents, rules in groups if ua in agents for r in rules]
+    if any(ua in agents for agents, _ in groups):
+        return merged
+    return [r for agents, rules in groups if "*" in agents for r in rules]
+
+
+def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
+    """Straight-line RFC 9309 decision for one path: among matching
+    rules the longest pattern wins, Allow wins length ties, no match ->
+    allowed."""
+    best: tuple[int, int] | None = None
+    verdict = True
+    for allow, pattern in rules:
+        if re.match(pattern_regex(pattern), path):
+            key = (len(pattern), int(allow))
+            if best is None or key > best:
+                best = key
+                verdict = allow
+    return verdict
 
 
 def robots_rules(robots: DataFrame, user_agent: str = "*",
@@ -85,17 +138,21 @@ def robots_rules(robots: DataFrame, user_agent: str = "*",
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            hosts, allows, prefixes, lens = [], [], [], []
+            hosts, allows, patterns, lens, regexes, wilds = (
+                [], [], [], [], [], []
+            )
             for host, content in zip(pdf[host_col], pdf[content_col]):
                 try:
                     rules = parse_robots(content or b"", user_agent)
                 except Exception:
                     rules = []
-                for allow, prefix in rules:
+                for allow, pattern in rules:
                     hosts.append(host)
                     allows.append(allow)
-                    prefixes.append(prefix)
-                    lens.append(len(prefix))
+                    patterns.append(pattern)
+                    lens.append(len(pattern))
+                    regexes.append(pattern_regex(pattern))
+                    wilds.append("*" in pattern or pattern.endswith("$"))
             # explicit dtypes: an empty partition's DataFrame otherwise
             # defaults every column to float64, which Arrow cannot convert
             # to the string/bool schema
@@ -103,8 +160,10 @@ def robots_rules(robots: DataFrame, user_agent: str = "*",
                 {
                     "host": pd.Series(hosts, dtype="object"),
                     "allow": pd.Series(allows, dtype="bool"),
-                    "prefix": pd.Series(prefixes, dtype="object"),
+                    "prefix": pd.Series(patterns, dtype="object"),
                     "prefix_len": pd.Series(lens, dtype="int32"),
+                    "regex": pd.Series(regexes, dtype="object"),
+                    "has_wild": pd.Series(wilds, dtype="bool"),
                 }
             )
 
@@ -116,7 +175,7 @@ def robots_rules(robots: DataFrame, user_agent: str = "*",
 def allowed_pages(pages: DataFrame, robots: DataFrame,
                   user_agent: str = "*") -> DataFrame:
     """Filter `pages` to urls robots.txt permits. `robots` is
-    (host, robots_txt). Longest-match-wins; Allow wins length ties;
+    (host, robots_txt). Longest-pattern-wins; Allow wins length ties;
     no matching rule (or no robots file for the host) -> allowed."""
     from .url import url_host
 
@@ -136,19 +195,22 @@ def allowed_pages(pages: DataFrame, robots: DataFrame,
             F.lit("/"),
         ),
     )
-    # LEFT join keyed on host WITH the prefix-match in the condition:
+    # LEFT join keyed on host WITH the path-match in the condition:
     # a url whose host has rules but none matching its path keeps its
-    # null-rule row (default allowed) instead of disappearing
-    cond = (urls["_host"] == rules["host"]) & F.col("_path").startswith(
-        F.col("prefix")
-    )
+    # null-rule row (default allowed) instead of disappearing. Literal
+    # rules match via startsWith (codegen-cheap); wildcard rules via the
+    # translated anchored regex.
+    matches = F.when(
+        F.col("has_wild"), F.rlike(F.col("_path"), F.col("regex"))
+    ).otherwise(F.col("_path").startswith(F.col("prefix")))
+    cond = (urls["_host"] == rules["host"]) & matches
     decision = (
         urls.join(rules, cond, "left")
         .groupBy("url")
         .agg(
             F.max_by(
                 F.coalesce(F.col("allow"), F.lit(True)),
-                # longest match wins; allow=true wins length ties (RFC)
+                # longest pattern wins; allow=true wins length ties (RFC)
                 F.struct(
                     F.coalesce(F.col("prefix_len"), F.lit(-1)),
                     F.coalesce(F.col("allow").cast("int"), F.lit(1)),
