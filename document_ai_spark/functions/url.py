@@ -11,10 +11,14 @@ Policy (deterministic, documented):
   5. duplicate slashes in the path collapsed; trailing '/' kept (it is
      semantically significant)
 
-`url_host` / `registered_domain` extract the host and an eTLD+1
-approximation (two labels, or three when the public suffix is a known
-two-level one like co.uk — the full public-suffix list plugs in as a
-broadcast map on a real deployment).
+`url_host` extracts the host; `registered_domain_psl` computes the real
+eTLD+1 against the BUNDLED Public Suffix List snapshot
+(data/public_suffix_snapshot.dat — a curated subset of
+publicsuffix.org; swap in the canonical file on deployment) as a
+broadcast join over distinct hosts. `registered_domain` stays as the
+zero-join column-expression approximation (two labels, or three when
+the suffix is a known two-level one like co.uk) — it is also the
+fallback for hosts matching no PSL rule.
 """
 
 from __future__ import annotations
@@ -22,12 +26,48 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# known two-level public suffixes for the heuristic (extend or replace
-# with the full PSL as a broadcast join in production)
+# known two-level public suffixes for the zero-join heuristic (the
+# bundled PSL snapshot is the real path; this backstops hosts that
+# match no PSL rule, and deployments that deleted the snapshot file)
 TWO_LEVEL_SUFFIXES = (
     "co.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
     "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx",
 )
+
+_PSL_RESOURCE = "data/public_suffix_snapshot.dat"
+
+
+def load_psl_suffixes() -> list[str]:
+    """Plain rules from the bundled PSL snapshot (wildcard '*.' and
+    exception '!' rules are not modeled — documented in the snapshot
+    header). Empty list when the resource is missing (the callers then
+    fall back to the heuristic)."""
+    from importlib import resources
+
+    try:
+        text = (
+            resources.files("document_ai_spark")
+            .joinpath(_PSL_RESOURCE)
+            .read_text("utf-8")
+        )
+    except Exception:
+        return []
+    out = []
+    for line in text.splitlines():
+        line = line.split("//", 1)[0].strip().lower()
+        if not line or line.startswith(("*", "!")):
+            continue
+        out.append(line)
+    return out
+
+
+def psl_table(spark):
+    """The bundled snapshot as a (suffix STRING) DataFrame (broadcast by
+    every consumer — a few hundred rows), or None when unavailable."""
+    suffixes = load_psl_suffixes()
+    if not suffixes:
+        return None
+    return spark.createDataFrame([(s,) for s in suffixes], ["suffix"])
 
 
 def url_host(url: Column) -> Column:
@@ -123,19 +163,27 @@ def with_url_columns(df, url_col: str = "url"):
     )
 
 
-def registered_domain_psl(df, psl, url_col: str = "url",
+def registered_domain_psl(df, psl=None, url_col: str = "url",
                           out_col: str = "domain"):
     """eTLD+1 with a REAL public-suffix list: `psl(suffix STRING)` is
     broadcast, the LONGEST matching label-tail wins, and the registered
-    domain is that suffix plus one label. Hosts matching no suffix fall
-    back to the last-two-labels heuristic. Wildcard/exception PSL rules
-    are not modeled (document before use).
+    domain is that suffix plus one label. `psl=None` loads the bundled
+    snapshot (psl_table); when that is unavailable too, the whole column
+    falls back to the heuristic. Hosts matching no suffix fall back to
+    the two-label heuristic. Wildcard/exception PSL rules are not
+    modeled (document before use).
 
     Scale shape: the mapping is computed on DISTINCT hosts (domain
     cardinality, tiny next to the row count), each host explodes its
     <= 5 candidate tails against the broadcast suffix table, and rows
     join the mapping back on host — the production pattern the heuristic
     `registered_domain` approximates, no UDF anywhere."""
+    if psl is None:
+        psl = psl_table(df.sparkSession)
+        if psl is None:
+            return df.withColumn(
+                out_col, registered_domain(F.col(url_col))
+            )
     base = df.withColumn("_host", url_host(F.col(url_col)))
     hosts = base.select("_host").distinct()
     parts = F.split(F.col("_host"), r"\.")
@@ -185,11 +233,13 @@ def registered_domain_psl(df, psl, url_col: str = "url",
     return out.drop("_host", "_psl_domain")
 
 
-def host_metrics(extracted, url_col: str = "url"):
+def host_metrics(extracted, url_col: str = "url", psl=None):
     """Per-registered-domain crawl stats over an extracted table: docs,
     raw bytes, parse failures — the rollup an operator watches for a
-    misbehaving host. One scan + one uniform-key aggregation."""
-    e = extracted.withColumn("domain", registered_domain(F.col(url_col)))
+    misbehaving host. Domains are true eTLD+1 via the bundled PSL
+    snapshot (broadcast over distinct hosts); one scan + one uniform-key
+    aggregation."""
+    e = registered_domain_psl(extracted, psl, url_col=url_col)
     return e.groupBy("domain").agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("html_bytes").alias("bytes"),

@@ -101,3 +101,56 @@ def test_registered_domain_psl(spark):
     assert got["https://user.github.io/repo"] == "user.github.io"
     assert got["https://host.internal/x"] == "host.internal"
     assert got["https://example.org/"] == "example.org"
+
+
+def test_registered_domain_bundled_snapshot(spark):
+    """The vendored PSL snapshot is the default: real-crawl hosts the
+    12-suffix heuristic misgroups must resolve to true eTLD+1."""
+    from document_ai_spark.functions.url import (
+        load_psl_suffixes,
+        registered_domain_psl,
+    )
+
+    suffixes = load_psl_suffixes()
+    assert len(suffixes) > 400
+    assert {"github.io", "blogspot.co.uk", "com.sg", "co.uk"} <= set(
+        suffixes
+    )
+    rows = [
+        ("https://alice.github.io/project/",),
+        ("https://cooking.blogspot.co.uk/recipe",),
+        ("https://shop.acme.com.sg/catalog",),
+        ("https://news.bbc.co.uk/story",),
+        ("https://sub.deep.example.org/page",),
+    ]
+    df = spark.createDataFrame(rows, ["url"])
+    got = {r.url: r.domain for r in registered_domain_psl(df).collect()}
+    assert got["https://alice.github.io/project/"] == "alice.github.io"
+    assert (got["https://cooking.blogspot.co.uk/recipe"]
+            == "cooking.blogspot.co.uk")
+    assert got["https://shop.acme.com.sg/catalog"] == "acme.com.sg"
+    assert got["https://news.bbc.co.uk/story"] == "bbc.co.uk"
+    assert got["https://sub.deep.example.org/page"] == "example.org"
+
+
+def test_host_metrics_groups_by_true_etld1(spark):
+    from document_ai_spark.functions.url import host_metrics
+
+    rows = [
+        ("https://a.github.io/x", 10, True),
+        ("https://a.github.io/y", 20, True),
+        ("https://b.github.io/z", 30, False),
+        ("https://www.acme.com.sg/p", 40, True),
+        ("https://cdn.acme.com.sg/q", 50, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, html_bytes long, parse_ok boolean"
+    )
+    got = {r.domain: r for r in host_metrics(df).collect()}
+    # two different github.io users are DIFFERENT registered domains;
+    # two hosts of one com.sg site are ONE
+    assert set(got) == {"a.github.io", "b.github.io", "acme.com.sg"}
+    assert got["a.github.io"].docs == 2
+    assert got["b.github.io"].parse_failures == 1
+    assert got["acme.com.sg"].docs == 2
+    assert got["acme.com.sg"].bytes == 90
