@@ -39,57 +39,117 @@ def _with_double_vec(e: DataFrame, col: str = "embedding") -> DataFrame:
 
 
 def build_ivf_index(embeddings: DataFrame, n_lists: int = N_LISTS,
-                    seed: int = 42):
+                    seed: int = 42, fit_fraction: float = 1.0):
     """Fit the coarse quantizer and assign every vector to a list.
-    Returns (model, assigned_df with `list_id`)."""
+    Returns (model, assigned_df with `list_id`).
+
+    NO action over the corpus: the fit input is sample(fit_fraction) +
+    limit(N_FIT_SAMPLE) — the limit caps what the quantizer ever sees
+    and short-circuits the scan, so there is no sizing count() (the r3
+    version paid a full pass just to compute the fraction). At corpus
+    scale pass the fraction that makes fraction * corpus_estimate land
+    near N_FIT_SAMPLE (table statistics, not an action); the default 1.0
+    is right for small tables. The full table is only ever
+    transform()ed (single map pass, no iteration)."""
     from pyspark.ml.clustering import KMeans
 
     vec = _with_double_vec(embeddings)
     km = KMeans(k=n_lists, seed=seed, featuresCol="_vec",
                 predictionCol="list_id")
-    # bounded sample fit: one metadata-cheap count to size the fraction,
-    # then sample+limit caps what the quantizer ever sees; the full table
-    # is only ever transform()ed (single map pass, no iteration)
-    n = vec.count()
-    frac = min(1.0, 1.2 * N_FIT_SAMPLE / max(n, 1))
-    fit_df = vec.select("_vec").sample(False, frac, seed).limit(N_FIT_SAMPLE)
-    model = km.fit(fit_df)
+    fit_df = vec.select("_vec")
+    if fit_fraction < 1.0:
+        fit_df = fit_df.sample(False, fit_fraction, seed)
+    model = km.fit(fit_df.limit(N_FIT_SAMPLE))
     assigned = model.transform(vec)
     return model, assigned
 
 
-def ivf_topk(embeddings: DataFrame, probe_vec_id: int, k: int = 10,
+def probes_by_id(embeddings: DataFrame, ids) -> DataFrame:
+    """Convenience: corpus vectors as a probe table
+    (probe_id, embedding)."""
+    return embeddings.filter(F.col("vec_id").isin(*ids)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+
+
+def ivf_topk(embeddings: DataFrame, probes: DataFrame, k: int = 10,
              n_lists: int = N_LISTS, n_probe: int = N_PROBE,
-             seed: int = 42) -> DataFrame:
-    """Approximate top-k by cosine: search only the n_probe lists whose
-    centroids are nearest to the probe vector."""
-    import numpy as np
+             seed: int = 42, fit_fraction: float = 1.0) -> DataFrame:
+    """Batched IVF ANN: `probes` is a TABLE (probe_id, embedding); every
+    probe searches the n_probe lists whose centroids are nearest to it.
+    Returns (probe_id, vec_id, cosine), the top-k rows per probe.
 
-    model, assigned = build_ivf_index(embeddings, n_lists, seed)
-    centers = np.stack(model.clusterCenters())
-    probe = (
-        embeddings.filter(F.col("vec_id") == probe_vec_id)
-        .select("embedding").collect()[0][0]
-    )
-    q = np.array(probe, dtype=np.float64)
-    qn = q / np.sqrt((q * q).sum())
-    d = ((centers - qn) ** 2).sum(axis=1)
-    probe_lists = [int(i) for i in np.argsort(d)[:n_probe]]
+    Scale shape (r3 verdict item 1 — the per-probe driver round trip is
+    gone): centroids are index METADATA (n_lists x dim, driver-side by
+    construction of KMeans.fit) broadcast-joined to the probe table;
+    list pruning is a per-probe row_number over that tiny cross join;
+    candidates come from ONE join of the assigned corpus against the
+    broadcast (probe, list) pairs; the final per-probe top-k is a
+    rank-limit window, which Spark executes as map-side group limits
+    before the shuffle (WindowGroupLimit) — the two-phase top-k. No
+    count()/collect() of corpus data anywhere in the path, and no
+    literal-array query vectors in the plan."""
+    from pyspark.sql.window import Window as W
 
-    cand = assigned.filter(
-        F.col("list_id").isin(probe_lists) & (F.col("vec_id") != probe_vec_id)
+    model, assigned = build_ivf_index(embeddings, n_lists, seed,
+                                      fit_fraction)
+    spark = embeddings.sparkSession
+    cent = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "list_id INT, center ARRAY<DOUBLE>",
     )
-    qcol = F.array(*[F.lit(float(v)) for v in q])
-    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(dv, qcol, lambda a, b: a * b), F.lit(0.0),
-                      lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = float(np.sqrt((q * q).sum()))
+    p = probes.select(
+        "probe_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("_pv"),
+    )
+    pn = F.sqrt(
+        F.aggregate(F.col("_pv"), F.lit(0.0), lambda a, v: a + v * v)
+    )
+    # centroids live on the unit sphere (KMeans ran on normalized
+    # vectors), so rank lists by L2 to the NORMALIZED probe
+    p = p.withColumn("_pnorm", F.transform(F.col("_pv"), lambda x: x / pn))
+    scored = p.crossJoin(F.broadcast(cent)).withColumn(
+        "_d2",
+        F.aggregate(
+            F.zip_with(
+                F.col("_pnorm"), F.col("center"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
+    wl = W.partitionBy("probe_id").orderBy(F.col("_d2").asc(), "list_id")
+    probe_lists = (
+        scored.withColumn("_rn", F.row_number().over(wl))
+        .filter(F.col("_rn") <= n_probe)
+        .select("probe_id", "list_id", "_pv")
+    )
+    cand = (
+        assigned.select("vec_id", "embedding", "list_id")
+        .join(F.broadcast(probe_lists), "list_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+    )
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(dv, F.col("_pv"), lambda a, b: a * b),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    na = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, v: a + v * v))
+    nb = F.sqrt(
+        F.aggregate(F.col("_pv"), F.lit(0.0), lambda a, v: a + v * v)
+    )
+    ranked = cand.select(
+        "probe_id", "vec_id", F.round(dot / (na * nb), 6).alias("cosine")
+    )
+    wk = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
-        cand.select("vec_id", F.round(dot / (na * F.lit(nb)), 6)
-                    .alias("cosine"))
-        .orderBy(F.col("cosine").desc(), "vec_id")
-        .limit(k)
+        ranked.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 

@@ -656,6 +656,7 @@ SELECT id_a, id_b, cosine FROM cand WHERE cosine > {NEAR_DUP_COS}
 N_IVF_PLANES = 4  # 2^4 = 16 inverted lists
 IVF_NPROBE = 6
 IVF_K = 10
+IVF_PROBE_IDS = (0, 1, 2)  # r4: a probe TABLE, not one driver vector
 
 
 def _ivf_list_col(emb_col: F.Column) -> F.Column:
@@ -684,9 +685,15 @@ def _ivf_list_col(emb_col: F.Column) -> F.Column:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k vs probe vec 0: deterministic hyperplane
-    coarse quantizer + integer-sum centroids + nprobe list search + exact
-    re-rank — the 10^12-scale ANN path, fully oracle-checkable."""
+    """IVF approximate top-k for a probe TABLE (vecs 0-2): deterministic
+    hyperplane coarse quantizer + integer-sum centroids + per-probe
+    nprobe list pruning + exact re-rank with a per-probe rank-limit
+    window — the 10^12-scale ANN path, fully oracle-checkable, answering
+    MANY probes in one job (r3 verdict item 1: the one-vector-at-a-time
+    probe shape is gone). The per-probe top-k runs as map-side
+    WindowGroupLimit before the shuffle."""
+    from pyspark.sql.window import Window as W
+
     e = _t(spark, sf_dir, "embeddings")
     eq = e.select(
         "vec_id",
@@ -697,15 +704,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vq"),
         _ivf_list_col(F.col("embedding")).alias("list_id"),
     )
+    probes = eq.filter(F.col("vec_id").isin(*IVF_PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("vq").alias("pvq"),
+        F.col("embedding").alias("probe_vec"),
+    )
     # index build: exact integer centroid-sum per (list, dimension)
     pos = eq.select("list_id", F.posexplode("vq").alias("pos", "qv"))
     cent = pos.groupBy("list_id", "pos").agg(F.sum("qv").alias("s"))
-    ppos = eq.filter(F.col("vec_id") == 0).select(
-        F.posexplode("vq").alias("pos", "pv")
+    ppos = probes.select(
+        "probe_id", F.posexplode("pvq").alias("pos", "pv")
     )
     scored = (
         cent.join(F.broadcast(ppos), "pos")
-        .groupBy("list_id")
+        .groupBy("probe_id", "list_id")
         .agg(
             F.sum(F.col("s") * F.col("pv")).alias("dot_qs"),
             F.sum(F.col("s") * F.col("s")).alias("ss"),
@@ -718,20 +730,38 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    wl = W.partitionBy("probe_id").orderBy(F.col("score").desc(), "list_id")
     top_lists = (
-        scored.orderBy(F.col("score").desc(), "list_id")
-        .limit(IVF_NPROBE)
-        .select("list_id")
+        scored.withColumn("_rn", F.row_number().over(wl))
+        .filter(F.col("_rn") <= IVF_NPROBE)
+        .select("probe_id", "list_id")
     )
     cand = eq.join(F.broadcast(top_lists), "list_id").filter(
-        F.col("vec_id") != 0
+        F.col("vec_id") != F.col("probe_id")
     )
-    probe = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("probe_vec")
+    j = cand.join(
+        F.broadcast(probes.select("probe_id", "probe_vec")), "probe_id"
     )
-    cos = _cosine_to_probe(cand.select("vec_id", "embedding"), probe)
-    return cos.orderBy(F.col("cosine").desc(), "vec_id").limit(IVF_K)
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pv = F.transform(F.col("probe_vec"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(dv, pv, lambda a, b: a * b), F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(pv, F.lit(0.0), lambda acc, v: acc + v * v))
+    cos = j.select(
+        "probe_id", "vec_id", F.round(dot / (na * nb), 6).alias("cosine")
+    )
+    wk = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        cos.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= IVF_K)
+        .drop("_rn")
+    )
 
+
+_IVF_PROBE_LIST = ", ".join(str(i) for i in IVF_PROBE_IDS)
 
 SQL_ANN_IVF_TOPK = f"""
 WITH eq AS (
@@ -744,36 +774,43 @@ WITH eq AS (
              for p in range(N_IVF_PLANES)
          )} AS INT) AS list_id
   FROM embeddings),
+probes AS (
+  SELECT vec_id AS probe_id, vq AS pvq, embedding AS probe_vec
+  FROM eq WHERE vec_id IN ({_IVF_PROBE_LIST})),
 pos AS (
   SELECT list_id, unnest(range(1, len(vq) + 1)) AS pos, unnest(vq) AS qv
   FROM eq),
 cent AS (SELECT list_id, pos, SUM(qv) AS s FROM pos GROUP BY list_id, pos),
 ppos AS (
-  SELECT unnest(range(1, len(vq) + 1)) AS pos, unnest(vq) AS pv
-  FROM eq WHERE vec_id = 0),
+  SELECT probe_id, unnest(range(1, len(pvq) + 1)) AS pos, unnest(pvq) AS pv
+  FROM probes),
 scored AS (
-  SELECT list_id,
+  SELECT probe_id, list_id,
          round(CAST(SUM(s * pv) AS DOUBLE)
                / (sqrt(CAST(SUM(s * s) AS DOUBLE))
                   * sqrt(CAST(SUM(pv * pv) AS DOUBLE))), 6) AS score
-  FROM cent JOIN ppos USING (pos) GROUP BY list_id),
-top_lists AS (SELECT list_id FROM scored
-              ORDER BY score DESC, list_id LIMIT {IVF_NPROBE}),
-cand AS (SELECT vec_id, embedding FROM eq
-         JOIN top_lists USING (list_id) WHERE vec_id <> 0),
-probe AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0)
-SELECT vec_id,
-       round(
-         list_sum(list_transform(list_zip(
-           list_transform(embedding, x -> CAST(x AS DOUBLE)),
-           list_transform(probe_vec, x -> CAST(x AS DOUBLE))),
-           p -> p[1] * p[2]))
-         / (sqrt(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-            * sqrt(list_sum(list_transform(probe_vec,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
-FROM cand, probe
-ORDER BY cosine DESC, vec_id LIMIT {IVF_K}
+  FROM cent JOIN ppos USING (pos) GROUP BY probe_id, list_id),
+top_lists AS (
+  SELECT probe_id, list_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY probe_id
+                             ORDER BY score DESC, list_id) <= {IVF_NPROBE}),
+cand AS (SELECT probe_id, vec_id, embedding FROM eq
+         JOIN top_lists USING (list_id) WHERE vec_id <> probe_id),
+cos AS (
+  SELECT c.probe_id, c.vec_id,
+         round(
+           list_sum(list_transform(list_zip(
+             list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(p.probe_vec, x -> CAST(x AS DOUBLE))),
+             pr -> pr[1] * pr[2]))
+           / (sqrt(list_sum(list_transform(c.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(p.probe_vec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+  FROM cand c JOIN probes p ON c.probe_id = p.probe_id)
+SELECT probe_id, vec_id, cosine FROM cos
+QUALIFY row_number() OVER (PARTITION BY probe_id
+                           ORDER BY cosine DESC, vec_id) <= {IVF_K}
 """
 
 
@@ -1018,51 +1055,119 @@ FROM ({_sql_curation_flags()})
 # evaluation is oracle-checked.
 # --------------------------------------------------------------------------
 
+RECALL_PROBE_IDS = (0, 1, 2)  # r4: evaluate a probe TABLE in one job
+RECALL_K = 20
+
+
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe recall@k of multiprobe-LSH candidates (probe bucket +
+    Hamming-1 neighbors) vs the exact brute-force top-k, for probes 0-2
+    in ONE job: brute-force and candidate sets are both per-probe
+    rank/filter shapes over broadcast probe rows, the recall rollup is a
+    per-probe aggregate — no per-probe driver round trip."""
+    from pyspark.sql.window import Window as W
+
     e = _t(spark, sf_dir, "embeddings")
-    brute = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    probes = e.filter(F.col("vec_id").isin(*RECALL_PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    # exact per-probe top-k (the ground truth)
+    j = e.crossJoin(F.broadcast(probes))
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pv = F.transform(F.col("probe_vec"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(dv, pv, lambda a, b: a * b), F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(pv, F.lit(0.0), lambda acc, v: acc + v * v))
+    cos = j.filter(F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id", "vec_id", F.round(dot / (na * nb), 6).alias("cosine")
+    )
+    wk = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
+    brute = (
+        cos.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= RECALL_K)
+        .select("probe_id", "vec_id")
+    )
     buckets = e.select(
         "vec_id", _bucket_col(F.col("embedding")).alias("bucket")
     )  # column-expression buckets: one scan per use, no UDF round-trip
-    probe_bucket = buckets.filter(F.col("vec_id") == 0).select(
-        F.col("bucket").alias("probe_bucket")
+    probe_buckets = buckets.filter(
+        F.col("vec_id").isin(*RECALL_PROBE_IDS)
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("bucket").alias("probe_bucket"),
     )
     # multiprobe: candidates within Hamming distance <= 1 of the probe's
-    # bucket (probe the bucket + its N_PLANES single-bit neighbors) —
-    # standard LSH recall lever, no extra index
+    # bucket (the bucket + its N_PLANES single-bit neighbors) — standard
+    # LSH recall lever, no extra index
     cand = (
-        buckets.crossJoin(F.broadcast(probe_bucket))
+        buckets.crossJoin(F.broadcast(probe_buckets))
         .filter(
             (F.bit_count(
                 F.col("bucket").bitwiseXOR(F.col("probe_bucket"))) <= 1)
-            & (F.col("vec_id") != 0)
+            & (F.col("vec_id") != F.col("probe_id"))
         )
-        .select("vec_id")
+        .select("probe_id", "vec_id")
     )
-    hit = brute.join(cand, "vec_id", "left_semi")
-    return brute.agg(
-        F.count(F.lit(1)).alias("k"),
-    ).crossJoin(
-        hit.agg(F.count(F.lit(1)).alias("hits"))
-    ).select(
-        "k", "hits",
-        F.round(F.col("hits").cast("double") / F.col("k"), 6).alias(
-            "recall"
-        ),
+    hit = brute.join(cand, ["probe_id", "vec_id"], "left_semi")
+    return (
+        brute.groupBy("probe_id").agg(F.count(F.lit(1)).alias("k"))
+        .join(
+            hit.groupBy("probe_id").agg(F.count(F.lit(1)).alias("_h")),
+            "probe_id", "left",
+        )
+        .select(
+            "probe_id", "k",
+            F.coalesce("_h", F.lit(0)).alias("hits"),
+            F.round(
+                F.coalesce("_h", F.lit(0)).cast("double") / F.col("k"), 6
+            ).alias("recall"),
+        )
     )
 
+
+_RECALL_PROBE_LIST = ", ".join(str(i) for i in RECALL_PROBE_IDS)
 
 SQL_ANN_LSH_RECALL = f"""
-WITH brute AS (SELECT vec_id FROM ({SQL_ANN_COSINE_TOPK})),
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS probe_vec FROM embeddings
+  WHERE vec_id IN ({_RECALL_PROBE_LIST})),
+cos AS (
+  SELECT p.probe_id, e.vec_id,
+         round(
+           list_sum(list_transform(list_zip(
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(p.probe_vec, x -> CAST(x AS DOUBLE))),
+             pr -> pr[1] * pr[2]))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(p.probe_vec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+  FROM embeddings e, probes p WHERE e.vec_id <> p.probe_id),
+brute AS (
+  SELECT probe_id, vec_id FROM cos
+  QUALIFY row_number() OVER (PARTITION BY probe_id
+                             ORDER BY cosine DESC, vec_id) <= {RECALL_K}),
 buckets AS ({SQL_ANN_LSH_BUCKETS}),
 cand AS (
-  SELECT b.vec_id FROM buckets b,
-       (SELECT bucket AS probe_bucket FROM buckets WHERE vec_id = 0) p
-  WHERE bit_count(xor(b.bucket, p.probe_bucket)) <= 1 AND b.vec_id <> 0)
-SELECT (SELECT COUNT(*) FROM brute) AS k,
-       (SELECT COUNT(*) FROM brute WHERE vec_id IN (SELECT vec_id
-                                                    FROM cand)) AS hits,
-       round(CAST((SELECT COUNT(*) FROM brute
-                   WHERE vec_id IN (SELECT vec_id FROM cand)) AS DOUBLE)
-             / (SELECT COUNT(*) FROM brute), 6) AS recall
+  SELECT p.probe_id, b.vec_id
+  FROM buckets b,
+       (SELECT vec_id AS probe_id, bucket AS probe_bucket FROM buckets
+        WHERE vec_id IN ({_RECALL_PROBE_LIST})) p
+  WHERE bit_count(xor(b.bucket, p.probe_bucket)) <= 1
+    AND b.vec_id <> p.probe_id),
+hits AS (
+  SELECT br.probe_id, COUNT(*) AS h
+  FROM brute br JOIN cand c
+    ON br.probe_id = c.probe_id AND br.vec_id = c.vec_id
+  GROUP BY br.probe_id)
+SELECT b.probe_id, COUNT(*) AS k,
+       CAST(COALESCE(ANY_VALUE(h.h), 0) AS BIGINT) AS hits,
+       round(CAST(COALESCE(ANY_VALUE(h.h), 0) AS DOUBLE) / COUNT(*), 6)
+           AS recall
+FROM brute b LEFT JOIN hits h ON b.probe_id = h.probe_id
+GROUP BY b.probe_id
 """

@@ -41,19 +41,29 @@ def test_ann_ivf_deterministic_and_sane(spark):
         q_ann_ivf_topk,
     )
 
+    from document_ai_spark.queries_ml import IVF_PROBE_IDS
+
     r1 = q_ann_ivf_topk(spark, SF).collect()
     r2 = q_ann_ivf_topk(spark, SF).collect()
     assert r1 == r2  # fully deterministic (the KMeans variant was not)
-    assert len(r1) == IVF_K
-    cosines = [r.cosine for r in r1]
-    assert cosines == sorted(cosines, reverse=True)
+    # r4: probe TABLE — IVF_K rows per probe, descending per probe
+    assert len(r1) == IVF_K * len(IVF_PROBE_IDS)
+    by_probe: dict[int, list] = {}
+    for r in r1:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert sorted(by_probe) == sorted(IVF_PROBE_IDS)
+    for pid, rows_ in by_probe.items():
+        assert len(rows_) == IVF_K
+        assert all(r.vec_id != pid for r in rows_)
+        cosines = [r.cosine for r in rows_]
+        assert cosines == sorted(cosines, reverse=True)
     # recall vs brute force: data-limited on the driver's random vectors
     # (no angular clusters — same disclosure as ann_lsh_recall); the probe
     # of 6/16 lists must still land a meaningful fraction of the true top-k
     brute10 = set(
         r.vec_id for r in q_ann_cosine_topk(spark, SF).collect()[:IVF_K]
     )
-    ivf = set(r.vec_id for r in r1)
+    ivf = set(r.vec_id for r in by_probe[0])
     assert len(ivf & brute10) >= 2  # measured 4/10 at sf0.001
 
 

@@ -8,6 +8,7 @@ from document_ai_spark.operators.similarity import (
     connected_components,
     dedup_clusters,
     ivf_topk,
+    probes_by_id,
 )
 from document_ai_spark.queries_ml import q_ann_cosine_topk
 
@@ -17,9 +18,34 @@ SF = "/root/testdata/sf0.001"
 def test_ivf_recall_vs_brute_force(spark):
     brute = {r.vec_id for r in q_ann_cosine_topk(spark, SF).collect()[:10]}
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    approx = {r.vec_id for r in ivf_topk(emb, probe_vec_id=0, k=10).collect()}
+    got = ivf_topk(emb, probes_by_id(emb, [0]), k=10).collect()
+    approx = {r.vec_id for r in got}
+    assert all(r.probe_id == 0 for r in got)
     recall = len(brute & approx) / 10
     assert recall >= 0.5, f"IVF recall {recall} too low"
+
+
+def test_ivf_topk_batched_probes(spark):
+    """One job answers a probe TABLE: k rows per probe, descending
+    cosine, probe never among its own candidates — and each probe's
+    rows equal the single-probe answer (batching must not change
+    results)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ids = [0, 1, 2]
+    got = ivf_topk(emb, probes_by_id(emb, ids), k=5).collect()
+    by_probe: dict[int, list] = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert sorted(by_probe) == ids
+    for pid, rows in by_probe.items():
+        assert len(rows) == 5
+        assert all(r.vec_id != pid for r in rows)
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        single = ivf_topk(emb, probes_by_id(emb, [pid]), k=5).collect()
+        assert [(r.vec_id, r.cosine) for r in single] == [
+            (r.vec_id, r.cosine) for r in rows
+        ]
 
 
 def test_connected_components_known_graph(spark):
