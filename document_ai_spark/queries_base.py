@@ -37,14 +37,33 @@ N_BANDS = 4  # 2 hashes per band
 
 
 def minhash_band_pairs(df, id_col: str = "doc_id",
-                       text_col: str = "text"):
+                       text_col: str = "text",
+                       n_hashes: int = N_MINHASH,
+                       n_bands: int = N_BANDS,
+                       rows_per_band: int | None = None):
     """Generic MinHash + LSH candidate-pair builder over any
-    (id, text) frame — ONE frozen construction (md5('j:'||shingle)
-    minima, 2 hashes per band) shared by the documents-table queries
-    (queries_ml) and the curation engine (operators/curate), so the
-    DuckDB oracle twin (_sql_minhash_core) can never drift from one copy
-    while the other is updated. Returns (doc_a, doc_b) candidate pairs
-    from the bucketed band self-join (never all-pairs)."""
+    (id, text) frame — ONE construction (md5('j:'||shingle) minima,
+    `rows_per_band` consecutive hashes concatenated per band) shared by
+    the documents-table queries (queries_ml) and the curation engine
+    (operators/curate), so the DuckDB oracle twin (_sql_minhash_core)
+    can never drift from one copy while the other is updated. Returns
+    (doc_a, doc_b) candidate pairs from the bucketed band self-join
+    (never all-pairs).
+
+    Banding is a deployment knob (r3 verdict item 4): a pair with
+    shingle-Jaccard s collides with probability 1 - (1 - s^r)^b for
+    b bands of r rows — the S-curve threshold sits near (1/b)^(1/r).
+    The frozen default (8 hashes, 4 bands x 2 rows, threshold ~0.5)
+    backs the oracle-checked registry entries; a 100 TB corpus wanting
+    fewer false candidates runs steeper curves like (16, 4, 4)
+    (threshold ~0.71) without touching the construction."""
+    if rows_per_band is None:
+        rows_per_band = n_hashes // n_bands
+    if n_bands * rows_per_band != n_hashes:
+        raise ValueError(
+            "need n_bands * rows_per_band == n_hashes, got "
+            f"{n_bands} * {rows_per_band} != {n_hashes}"
+        )
     ids = df.select(F.col(id_col).alias("_id"),
                     F.col(text_col).alias("text"))
     sh = (
@@ -58,7 +77,7 @@ def minhash_band_pairs(df, id_col: str = "doc_id",
                 F.encode(F.concat_ws(":", F.lit(str(j)), "shingle"), "UTF-8")
             )
         ).alias(f"mh_{j}")
-        for j in range(N_MINHASH)
+        for j in range(n_hashes)
     ]
     sig = sh.groupBy("_id").agg(*aggs)
     bands = sig.select(
@@ -66,8 +85,13 @@ def minhash_band_pairs(df, id_col: str = "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.concat(F.col(f"mh_{2 * b}"), F.col(f"mh_{2 * b + 1}"))
-                    for b in range(N_BANDS)
+                    F.concat(
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band_no", "band_key"),
