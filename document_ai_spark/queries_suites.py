@@ -72,11 +72,69 @@ from .queries_tuning import N_CONFIGS
 # --------------------------------------------------------------------------
 
 
+# the injected shared passage is synthetic UNIQUE text (md5 hex chain,
+# 160 chars >> winnow window+k-1): corpus vocabulary never collides with
+# it, so its fingerprints' doc frequency is exactly the injected-doc
+# count at every SF (a doc-0 snippet failed at sf0.001 — short docs make
+# ordinary-vocabulary fingerprints exceed any df cap)
+import hashlib as _hashlib
+
+PASSAGE = "".join(
+    _hashlib.md5(f"passage:{i}".encode()).hexdigest() for i in range(5)
+)
+# thresholds probed at sf0.01: the synthetic corpus draws from a shared
+# vocabulary, so (min_shared=2, max_df=100) pairs nearly everything via
+# common-word fingerprints (95k pairs); (8, 20) keeps the injected
+# passage group (~50 shared fingerprints per pair) plus a couple dozen
+# genuine high-overlap random pairs — both flag behaviors real
+PASSAGE_MIN_SHARED = 8
+PASSAGE_MAX_DF = 20
+CHUNK_MAX_WORDS = 48
+CHUNK_OVERLAP = 8
+
+
+def _q_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc shared-passage pairs (operators/passages) as a suite
+    branch: the random corpus shares no verbatim passages naturally, so
+    docs with doc_id % 40 == 3 get the synthetic PASSAGE appended IN the
+    query — those docs must pair up via shared winnowing fingerprints,
+    everything else must not (beyond genuine vocabulary overlap)."""
+    from .operators.passages import shared_passage_pairs
+    from .queries_text import winnow_fingerprints_df
+
+    d0 = _t(spark, sf_dir, "documents")
+    inj = d0.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 40 == 3,
+            F.concat(F.col("text"), F.lit(" " + PASSAGE)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    fp = winnow_fingerprints_df(inj)
+    return shared_passage_pairs(
+        fp, min_shared=PASSAGE_MIN_SHARED, max_doc_freq=PASSAGE_MAX_DF
+    )
+
+
+def _q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        max_words=CHUNK_MAX_WORDS, overlap=CHUNK_OVERLAP,
+    )
+
+
 def q_relational_demo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Union of 8 relational demos normalized to (section, k, v_num,
-    v_str). Each branch is the unchanged original query (operator identity
-    preserved — e.g. the pivot branch still runs a real pivot), only the
-    output is normalized for the shared schema."""
+    """Union of 10 demos normalized to (section, k, v_num, v_str). Each
+    branch is the unchanged original query/operator (operator identity
+    preserved — e.g. the pivot branch still runs a real pivot, the
+    chunking branch runs the real chunk_documents operator), only the
+    output is normalized for the shared schema. r4 added the two
+    corpus-ops branches (shared_passages, chunking) so the
+    previously pytest-only operators get driver rows without breaching
+    the 50-entry registry cap; the chunking branch hash-checks every
+    chunk's TEXT via md5 in v_str."""
 
     def tag(name: str) -> F.Column:
         return F.lit(name).alias("section")
@@ -131,10 +189,72 @@ def q_relational_demo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").cast("double").alias("v_num"),
         F.col("s_name").alias("v_str"),
     )
+    sp = _q_shared_passages(spark, sf_dir).select(
+        tag("shared_passages"),
+        F.concat_ws(":", "doc_a", "doc_b").alias("k"),
+        F.col("n_shared").cast("double").alias("v_num"),
+        F.lit("").alias("v_str"),
+    )
+    ck = _q_chunking(spark, sf_dir).select(
+        tag("chunking"),
+        F.concat_ws(":", "doc_id", "chunk_no", "n_chunks").alias("k"),
+        F.col("chunk_words").cast("double").alias("v_num"),
+        F.md5(F.encode("chunk_text", "UTF-8")).alias("v_str"),
+    )
     out = cs
-    for branch in (pv, ds, sq, so, sa, np_, do):
+    for branch in (pv, ds, sq, so, sa, np_, do, sp, ck):
         out = out.unionByName(branch)
     return out
+
+
+def _sql_shared_passages() -> str:
+    from .queries_text import sql_winnow_fingerprint
+
+    inj = f"""(SELECT doc_id,
+       text || CASE WHEN doc_id % 40 = 3
+                    THEN ' {PASSAGE}'
+                    ELSE '' END AS text
+  FROM documents)"""
+    return f"""
+WITH fp AS ({sql_winnow_fingerprint(inj)}),
+dfp AS (SELECT DISTINCT doc_id, fingerprint FROM fp),
+freq AS (SELECT fingerprint, COUNT(*) AS df FROM dfp GROUP BY fingerprint),
+kept AS (SELECT doc_id, fingerprint FROM dfp JOIN freq USING (fingerprint)
+         WHERE df <= {PASSAGE_MAX_DF}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, n_shared FROM pairs
+WHERE n_shared >= {PASSAGE_MIN_SHARED}
+"""
+
+
+_CHUNK_STRIDE = CHUNK_MAX_WORDS - CHUNK_OVERLAP
+
+_SQL_CHUNKING = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+c AS (
+  SELECT doc_id, words,
+         CASE WHEN len(words) <= {CHUNK_MAX_WORDS} THEN 1
+              ELSE CAST(ceil(CAST(len(words) - {CHUNK_OVERLAP} AS DOUBLE)
+                             / {_CHUNK_STRIDE}) AS INT) END AS n_chunks
+  FROM w),
+ch AS (
+  SELECT doc_id, n_chunks, unnest(range(0, n_chunks)) AS chunk_no, words
+  FROM c)
+SELECT doc_id, chunk_no, n_chunks,
+       array_to_string(
+         list_slice(words, chunk_no * {_CHUNK_STRIDE} + 1,
+                    chunk_no * {_CHUNK_STRIDE} + {CHUNK_MAX_WORDS}), ' ')
+           AS chunk_text,
+       len(list_slice(words, chunk_no * {_CHUNK_STRIDE} + 1,
+                      chunk_no * {_CHUNK_STRIDE} + {CHUNK_MAX_WORDS}))
+           AS chunk_words
+FROM ch
+"""
 
 
 SQL_RELATIONAL_DEMO_SUITE = f"""
@@ -167,6 +287,14 @@ UNION ALL
 SELECT 'dominant_suppliers', CAST(s_suppkey AS VARCHAR),
        CAST(s_suppkey AS DOUBLE), s_name
 FROM ({SQL_DOMINANT_SUPPLIERS})
+UNION ALL
+SELECT 'shared_passages', doc_a || ':' || doc_b, CAST(n_shared AS DOUBLE),
+       ''
+FROM ({_sql_shared_passages()})
+UNION ALL
+SELECT 'chunking', doc_id || ':' || chunk_no || ':' || n_chunks,
+       CAST(chunk_words AS DOUBLE), md5(chunk_text)
+FROM ({_SQL_CHUNKING})
 """
 
 

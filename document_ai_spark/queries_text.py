@@ -343,8 +343,10 @@ def _winnow_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+def winnow_fingerprints_df(d: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) -> (doc_id, pos, fingerprint) winnowed rows —
+    the reusable form (q_winnow_fingerprint and the shared-passages
+    suite branch both build on it)."""
     # normalize with SQL expressions so both engines share one regex policy
     norm = d.select(
         "doc_id",
@@ -356,16 +358,24 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norm.mapInPandas(_winnow_batches, schema=_WINNOW_SCHEMA)
 
 
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints_df(_t(spark, sf_dir, "documents"))
+
+
 _SQL_WINNOW_TERMS = " + ".join(
     f"cp[i+{j}] * {p}" for j, p in enumerate(_RK_POWS)
 )
 
-SQL_WINNOW_FINGERPRINT = rf"""
+
+def sql_winnow_fingerprint(src: str = "documents") -> str:
+    """DuckDB twin of winnow_fingerprints_df over any (doc_id, text)
+    relation `src` (a table name or a parenthesized subquery)."""
+    return rf"""
 WITH s AS (
   SELECT doc_id,
          substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
                 1, {1 << _POS_BITS}) AS t
-  FROM documents),
+  FROM {src}),
 cps AS (
   SELECT doc_id,
          list_transform(str_split(t, ''),
@@ -388,6 +398,9 @@ SELECT DISTINCT doc_id,
        CAST(mkey // {1 << _POS_BITS} AS BIGINT) AS fingerprint
 FROM win WHERE i <= nh - {_WINDOW - 1}
 """
+
+
+SQL_WINNOW_FINGERPRINT = sql_winnow_fingerprint()
 
 
 

@@ -76,6 +76,62 @@ def test_connected_components_log_rounds_on_chain(spark):
     assert (got.c, got.m, got.n) == (1, 0, 31)
 
 
+def test_suite_shared_passages_branch_non_vacuous(spark):
+    """The injected-passage docs (doc 0 and doc_id % 40 == 3) must pair
+    up; the branch must not degenerate to all-pairs."""
+    from document_ai_spark.queries_suites import _q_shared_passages
+
+    rows = _q_shared_passages(spark, "/root/testdata/sf0.001").collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    injected = sorted(
+        r.doc_id
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id").collect()
+        if r.doc_id % 40 == 3
+    )
+    expect = {
+        (a, b) for a in injected for b in injected if a < b
+    }
+    assert expect <= pairs
+    # and nowhere near all-pairs: the df cap kills vocabulary pairing
+    assert len(pairs) < 4 * len(expect)
+
+
+def test_suite_chunking_branch_reconstructs(spark):
+    """Chunks must tile the normalized words with the configured
+    overlap — verified by reconstructing one long document."""
+    from document_ai_spark.queries_suites import (
+        CHUNK_MAX_WORDS,
+        CHUNK_OVERLAP,
+        _q_chunking,
+    )
+
+    stride = CHUNK_MAX_WORDS - CHUNK_OVERLAP
+    ch = _q_chunking(spark, "/root/testdata/sf0.001")
+    multi = ch.filter(F.col("n_chunks") >= 2).orderBy(
+        "doc_id", "chunk_no"
+    ).collect()
+    assert multi  # at least one doc long enough to split
+    doc_id = multi[0].doc_id
+    rows = [r for r in multi if r.doc_id == doc_id]
+    words: list[str] = []
+    for r in rows:
+        cw = r.chunk_text.split(" ") if r.chunk_text else []
+        assert len(cw) == r.chunk_words <= CHUNK_MAX_WORDS
+        start = r.chunk_no * stride
+        if r.chunk_no:  # overlap region must repeat the previous chunk
+            assert words[start : start + CHUNK_OVERLAP] == cw[:CHUNK_OVERLAP]
+        words[start:] = cw
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") == doc_id).collect()
+    import re as _re
+
+    expect = _re.sub(r"\s+", " ", docs[0].text.strip()).split(" ")
+    assert words == expect
+
+
 def test_minhash_banding_rows_per_band_inferred(planted):
     # (12, 3) infers r=4; distinct high-sim candidates only
     pairs = {
