@@ -10,6 +10,8 @@ Usage (local or cluster — the module is self-contained for --py-files):
   python -m document_ai_spark blocks --input DIR --output DIR [--url U]
   python -m document_ai_spark ingest --input DIR --output DIR --checkpoint DIR
   python -m document_ai_spark curate --extracted DIR --output DIR
+  python -m document_ai_spark pipeline --input WARCS_OR_DIR --workdir DIR \\
+      --output DIR [--robots DIR] [--respect-noindex] [--rules ...]
 """
 
 from __future__ import annotations
@@ -297,6 +299,34 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """One-command Common-Crawl pipeline: source -> policy gate ->
+    extract -> curate -> chunk -> JSONL shards, resumable at stage (and,
+    inside extract, shard) granularity."""
+    from document_ai_spark.pipeline import run_pipeline
+
+    spark = _spark(args)
+    rules = tuple(r.strip() for r in args.rules.split(",") if r.strip())
+    summary = run_pipeline(
+        spark,
+        args.input,
+        args.workdir,
+        args.output,
+        input_format=args.input_format,
+        robots_path=args.robots,
+        respect_noindex=args.respect_noindex,
+        user_agent=args.user_agent,
+        rules=rules,
+        chunk_words=args.chunk_words,
+        chunk_overlap=args.chunk_overlap,
+        n_shards=args.n_shards,
+        shards_per_commit=args.shards_per_commit,
+        run_id=args.run_id,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from pyspark.sql import functions as F
 
@@ -412,6 +442,32 @@ def main(argv: list[str] | None = None) -> int:
         "gopher's stopword-evidence rule rejects it — drop it there",
     )
     c.set_defaults(fn=cmd_curate)
+
+    pl = sub.add_parser("pipeline", help="full crawl-to-shards pipeline "
+                        "(source -> gate -> extract -> curate -> chunk -> "
+                        "jsonl), stage-resumable")
+    pl.add_argument("--input", required=True,
+                    help="pages parquet dir, or with --input-format warc a "
+                    "comma/glob list of .warc(.gz) paths")
+    pl.add_argument("--input-format", choices=("table", "warc"),
+                    default="table")
+    pl.add_argument("--workdir", required=True,
+                    help="stage outputs + markers live here; reuse it to "
+                    "resume, point somewhere fresh when input/params change")
+    pl.add_argument("--output", required=True, help="JSONL shard dir")
+    pl.add_argument("--robots", default=None,
+                    help="optional robots parquet (host, robots_txt) to "
+                    "gate urls through robots.txt")
+    pl.add_argument("--respect-noindex", action="store_true")
+    pl.add_argument("--user-agent", default="*")
+    pl.add_argument("--rules", default="dedup,quality,gopher",
+                    help="curation rules (dedup,neardup,quality,gopher)")
+    pl.add_argument("--chunk-words", type=int, default=512)
+    pl.add_argument("--chunk-overlap", type=int, default=64)
+    pl.add_argument("--n-shards", type=int, default=16)
+    pl.add_argument("--shards-per-commit", type=int, default=4)
+    pl.add_argument("--run-id", default=None)
+    pl.set_defaults(fn=cmd_pipeline)
 
     v = sub.add_parser("validate", help="QA predicates + golden accuracy")
     v.add_argument("--extracted", required=True)

@@ -1,0 +1,176 @@
+"""One-command Common-Crawl pipeline (the corpus-scale analog of the
+reference's end-to-end main.py:11-66):
+
+  warc/table source -> policy gate (robots.txt allow + per-row noindex)
+  -> extraction kernel -> curation funnel -> training-window chunking
+  -> gzip JSONL shards
+
+Each stage writes its result under `workdir/<stage>` and is SKIPPED on
+re-run when its commit marker (`_SUCCESS`) is present — so a crash
+anywhere resumes at the failed stage, and the extract stage additionally
+resumes at shard granularity through its own lineage table
+(operators/lineage.py). A stage that crashed mid-write left no marker
+(Spark's committer and the staged two-phase writer both publish
+`_SUCCESS` last), so the rerun simply overwrites its partial output.
+Resume assumes the same input and parameters; point `--workdir`
+somewhere fresh when they change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _committed(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _sub(workdir: str, name: str) -> str:
+    return os.path.join(workdir, name)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    workdir: str,
+    output: str,
+    input_format: str = "table",
+    robots_path: str | None = None,
+    respect_noindex: bool = False,
+    user_agent: str = "*",
+    rules: tuple[str, ...] = ("dedup", "quality", "gopher"),
+    chunk_words: int = 512,
+    chunk_overlap: int = 64,
+    n_shards: int = 16,
+    shards_per_commit: int = 4,
+    run_id: str | None = None,
+) -> dict:
+    """Run (or resume) the full pipeline. Returns a per-stage summary."""
+    from .operators.chunking import chunk_documents
+    from .operators.curate import curation_flags, kept_filter
+    from .operators.lineage import run_extraction_job
+    from .operators.pageflags import indexable_pages
+    from .sources.jsonl import write_jsonl
+
+    os.makedirs(workdir, exist_ok=True)
+    summary: dict = {"stages": {}}
+
+    # ---- 1. source: WARC archives parse once to a pages table ----
+    if input_format == "warc":
+        pages_dir = _sub(workdir, "pages")
+        if _committed(pages_dir):
+            summary["stages"]["pages"] = {"skipped": True}
+        else:
+            import glob as _glob
+
+            from .sources.warc import warc_pages
+
+            paths: list[str] = []
+            for pat in input_path.split(","):
+                paths.extend(sorted(_glob.glob(pat)) or [pat])
+            warc_pages(spark, paths).write.mode("overwrite").parquet(
+                pages_dir
+            )
+            summary["stages"]["pages"] = {"skipped": False,
+                                          "archives": len(paths)}
+        pages_path = pages_dir
+    else:
+        pages_path = input_path
+        summary["stages"]["pages"] = {"skipped": True, "source": "table"}
+
+    # ---- 2. policy gate: robots allow + per-row noindex ----
+    gated_path = pages_path
+    if robots_path or respect_noindex:
+        gate_dir = _sub(workdir, "gated")
+        if _committed(gate_dir):
+            summary["stages"]["gate"] = {"skipped": True}
+        else:
+            pages = spark.read.parquet(pages_path)
+            n_in = pages.count()
+            if robots_path:
+                from .functions.robots import allowed_pages
+
+                robots = spark.read.parquet(robots_path)
+                pages = allowed_pages(pages, robots, user_agent)
+            if respect_noindex:
+                pages = indexable_pages(pages)
+            pages.write.mode("overwrite").parquet(gate_dir)
+            n_out = spark.read.parquet(gate_dir).count()
+            summary["stages"]["gate"] = {
+                "skipped": False, "pages_in": n_in, "pages_kept": n_out,
+            }
+        gated_path = gate_dir
+    else:
+        summary["stages"]["gate"] = {"skipped": True, "gates": "none"}
+
+    # ---- 3. extract (shard-lineage resumable on its own) ----
+    extracted_dir = _sub(workdir, "extracted")
+    ex = run_extraction_job(
+        spark.read.parquet(gated_path),
+        extracted_dir,
+        n_shards=n_shards,
+        shards_per_commit=shards_per_commit,
+        run_id=run_id,
+    )
+    summary["stages"]["extract"] = ex
+
+    # ---- 4. curate: funnel flags -> kept docs ----
+    curated_dir = _sub(workdir, "curated")
+    if _committed(curated_dir):
+        summary["stages"]["curate"] = {"skipped": True}
+    else:
+        extracted = spark.read.parquet(extracted_dir)
+        flags = curation_flags(
+            extracted, id_col="url", text_col="main_text", lang_col=None
+        )
+        if "neardup" in rules:
+            from .operators.curate import neardup_keeper_flags
+
+            flags = flags.join(
+                neardup_keeper_flags(
+                    extracted, id_col="url", text_col="main_text"
+                ),
+                "url",
+            )
+        kept = kept_filter(flags, rules).select("url")
+        extracted.join(kept, "url", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(curated_dir)
+        summary["stages"]["curate"] = {
+            "skipped": False,
+            "rules": list(rules),
+            "docs_in": extracted.count(),
+            "docs_kept": spark.read.parquet(curated_dir).count(),
+        }
+
+    # ---- 5. chunk: training windows over the kept text ----
+    chunks_dir = _sub(workdir, "chunks")
+    if _committed(chunks_dir):
+        summary["stages"]["chunk"] = {"skipped": True}
+    else:
+        curated = spark.read.parquet(curated_dir)
+        chunks = chunk_documents(
+            curated, id_col="url", text_col="main_text",
+            max_words=chunk_words, overlap=chunk_overlap,
+        ).join(curated.select("url", "warc_ts"), "url")
+        chunks.write.mode("overwrite").parquet(chunks_dir)
+        summary["stages"]["chunk"] = {
+            "skipped": False,
+            "chunks": spark.read.parquet(chunks_dir).count(),
+        }
+
+    # ---- 6. export: gzip JSONL training shards ----
+    if _committed(output):
+        summary["stages"]["export"] = {"skipped": True}
+    else:
+        stats = write_jsonl(
+            spark.read.parquet(chunks_dir),
+            output,
+            text_col="chunk_text",
+            meta_cols=("chunk_no", "n_chunks", "chunk_words"),
+        )
+        summary["stages"]["export"] = {"skipped": False, **stats}
+    summary["output"] = output
+    return summary

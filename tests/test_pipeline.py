@@ -1,0 +1,172 @@
+"""The one-command crawl-to-shards pipeline: end-to-end content checks
+and the crash/resume contract (kill after extract, resume without
+dup/drop, completed stages skipped)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_ai_spark.pipeline import run_pipeline
+
+RULES = ("dedup", "quality")  # gopher rejects the synthetic vocabulary
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, corpus_dir, tmp_path_factory):
+    """60-page slice of the datagen corpus (module-scoped: the pipeline
+    runs several times)."""
+    out = str(tmp_path_factory.mktemp("pipe_pages") / "pages")
+    (
+        spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+        .orderBy("url").limit(60).write.parquet(out)
+    )
+    return out
+
+
+def _shards_content(spark, out_dir) -> set[tuple]:
+    shards = [
+        os.path.join(out_dir, n)
+        for n in os.listdir(out_dir)
+        if n.endswith(".jsonl.gz")
+    ]
+    rows = spark.read.json(shards).collect()
+    return {
+        (r.url, int(r.meta.chunk_no), r.text) for r in rows
+    }
+
+
+def test_pipeline_end_to_end(spark, pages_dir, tmp_path):
+    wd = str(tmp_path / "wd")
+    out = str(tmp_path / "shards")
+    summary = run_pipeline(
+        spark, pages_dir, wd, out, rules=RULES,
+        chunk_words=64, chunk_overlap=8, n_shards=4,
+        shards_per_commit=2,
+    )
+    assert summary["stages"]["extract"]["docs"] == 60
+    assert not summary["stages"]["curate"]["skipped"]
+    kept = summary["stages"]["curate"]["docs_kept"]
+    assert 0 < kept <= 60
+    assert summary["stages"]["export"]["records"] == summary[
+        "stages"
+    ]["chunk"]["chunks"]
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    # chunk text round-trips: reassembling chunk 0s must prefix-match the
+    # curated main_text normalization
+    content = _shards_content(spark, out)
+    curated = {
+        r.url: r.main_text
+        for r in spark.read.parquet(os.path.join(wd, "curated")).collect()
+    }
+    assert {u for u, _, _ in content} == set(curated)
+    for url, chunk_no, text in content:
+        if chunk_no == 0:
+            import re
+
+            norm = re.sub(r"\s+", " ", curated[url].strip())
+            assert norm.startswith(text.split(" ")[0])
+
+    # re-run: everything is committed -> every stage skips, extract
+    # resumes past all shards, output untouched
+    before = {
+        n: os.path.getmtime(os.path.join(out, n)) for n in os.listdir(out)
+    }
+    s2 = run_pipeline(
+        spark, pages_dir, wd, out, rules=RULES,
+        chunk_words=64, chunk_overlap=8, n_shards=4, shards_per_commit=2,
+    )
+    assert s2["stages"]["extract"]["shards_done_prior"] == 4
+    assert s2["stages"]["extract"]["chunks"] == 0
+    for st in ("curate", "chunk", "export"):
+        assert s2["stages"][st]["skipped"] is True
+    after = {
+        n: os.path.getmtime(os.path.join(out, n)) for n in os.listdir(out)
+    }
+    assert before == after
+
+
+def test_pipeline_crash_after_extract_resumes_exactly(
+    spark, pages_dir, tmp_path, monkeypatch
+):
+    """Kill the run at the curate stage; the resumed run must skip the
+    completed stages, redo only the tail, and produce byte-identical
+    shard content to an uninterrupted reference run."""
+    from document_ai_spark.operators import curate as curate_mod
+
+    ref_out = str(tmp_path / "ref_shards")
+    run_pipeline(
+        spark, pages_dir, str(tmp_path / "ref_wd"), ref_out, rules=RULES,
+        chunk_words=64, chunk_overlap=8, n_shards=4, shards_per_commit=2,
+    )
+
+    wd = str(tmp_path / "wd")
+    out = str(tmp_path / "shards")
+    real = curate_mod.curation_flags
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash at curate")
+
+    monkeypatch.setattr(curate_mod, "curation_flags", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_pipeline(
+            spark, pages_dir, wd, out, rules=RULES,
+            chunk_words=64, chunk_overlap=8, n_shards=4,
+            shards_per_commit=2,
+        )
+    monkeypatch.setattr(curate_mod, "curation_flags", real)
+
+    summary = run_pipeline(
+        spark, pages_dir, wd, out, rules=RULES,
+        chunk_words=64, chunk_overlap=8, n_shards=4, shards_per_commit=2,
+    )
+    # extraction had completed before the crash: all 4 shards resume
+    assert summary["stages"]["extract"]["shards_done_prior"] == 4
+    assert summary["stages"]["extract"]["chunks"] == 0
+    assert not summary["stages"]["curate"]["skipped"]
+    # no dup, no drop: identical shard content to the reference run
+    assert _shards_content(spark, out) == _shards_content(spark, ref_out)
+
+
+def test_pipeline_cli_with_gates(spark, corpus_dir, tmp_path, capsys):
+    """CLI verb end-to-end with the noindex gate + a robots gate that
+    disallows one host."""
+    from document_ai_spark.__main__ import main
+    from document_ai_spark.functions.url import url_host
+
+    pages = spark.read.parquet(
+        os.path.join(corpus_dir, "pages.parquet")
+    ).orderBy("url").limit(40)
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    hosts = [
+        r.h for r in pages.select(
+            url_host(F.col("url")).alias("h")
+        ).distinct().collect()
+    ]
+    blocked = sorted(hosts)[0]
+    robots = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [(blocked, b"User-agent: *\nDisallow: /")],
+        "host string, robots_txt binary",
+    ).write.parquet(robots)
+
+    out = str(tmp_path / "shards")
+    rc = main([
+        "pipeline", "--input", src, "--workdir", str(tmp_path / "wd"),
+        "--output", out, "--robots", robots, "--respect-noindex",
+        "--rules", "dedup,quality", "--chunk-words", "64",
+        "--chunk-overlap", "8", "--n-shards", "2",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    gate = summary["stages"]["gate"]
+    assert gate["pages_in"] == 40 and gate["pages_kept"] < 40
+    # every url from the blocked host is gone from the shards
+    kept_urls = {u for u, _, _ in _shards_content(spark, out)}
+    assert kept_urls
+    assert not any(u for u in kept_urls if blocked in u)

@@ -141,6 +141,8 @@ def test_suite_row_counts_match_members(spark):
         Q.q_distinct_suppliers, Q.q_small_quantity_revenue,
         Q.q_setops_customers, Q.q_semi_anti_gate,
         Q.q_nearest_price_parts, Q.q_dominant_suppliers,
+        # r4 corpus-ops branches
+        SU._q_shared_passages, SU._q_chunking,
     ]
     assert suite_n == sum(m(spark, SF).count() for m in members)
 
