@@ -110,7 +110,11 @@ def _q_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" " + PASSAGE)),
         ).otherwise(F.col("text")).alias("text"),
     )
-    fp = winnow_fingerprints_df(inj)
+    # materialize the fingerprints ONCE: the pair builder uses the frame
+    # three times (doc-frequency cap + both self-join sides), and each
+    # use would otherwise re-plan the whole winnowing scan — at corpus
+    # scale fingerprints are a materialized table, not a subquery
+    fp = winnow_fingerprints_df(inj).localCheckpoint(eager=True)
     return shared_passage_pairs(
         fp, min_shared=PASSAGE_MIN_SHARED, max_doc_freq=PASSAGE_MAX_DF
     )

@@ -42,12 +42,17 @@ SCAN_ALLOWLIST = {
     "embedding_near_dup_pairs": 4,  # tagged union of the baseline (2
                                 # scans) and LSH (2 scans) variants — each
                                 # branch is already scan-minimal
-    "relational_demo_suite": 14,  # driver-window consolidation: 8 demo
+    "relational_demo_suite": 15,  # driver-window consolidation: 8 demo
                                 # branches over SMALL dims (orders/
                                 # customer/part/supplier); each branch IS
                                 # its operator (set ops alone are 3 scans)
                                 # and branches were scan-audited before the
-                                # merge — never co-run at corpus scale
+                                # merge — never co-run at corpus scale.
+                                # r4: +1 for the chunking branch (one
+                                # documents scan); the shared-passages
+                                # branch materializes its fingerprints
+                                # once (localCheckpoint) so its three
+                                # uses add no parquet scans
     "sessionize": 2,            # two sessionization forms over events
     "doc_signatures": 3,        # fingerprint (shingle explode) + entropy
                                 # (char explode) branches joined per doc —
