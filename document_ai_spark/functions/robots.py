@@ -70,19 +70,20 @@ def pattern_regex(pattern: str) -> str:
     return "".join(out)
 
 
-def parse_robots(content: bytes | str, user_agent: str = "*"
-                 ) -> list[tuple[bool, str]]:
-    """robots.txt bytes -> [(allow, path_pattern)] for `user_agent`.
-    Rules from EVERY group naming the winning agent are merged.
-    Total: undecodable/garbage lines are skipped."""
+def _parse_groups(content: bytes | str):
+    """One-pass group parser: -> (groups, sitemaps) where each group is
+    (agents, rules, crawl_delays) and sitemaps are file-global (the de
+    facto standard — Sitemap lines live outside groups). Total:
+    undecodable/garbage lines are skipped."""
     if isinstance(content, bytes):
         text = content.decode("utf-8", "replace")
     else:
         text = content
-    ua = user_agent.lower()
-    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    groups: list[tuple[list[str], list[tuple[bool, str]], list[float]]] = []
+    sitemaps: list[str] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[bool, str]] = []
+    cur_delays: list[float] = []
     agents_open = False  # consecutive User-agent lines share a group
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -91,12 +92,17 @@ def parse_robots(content: bytes | str, user_agent: str = "*"
         field, _, value = line.partition(":")
         field = field.strip().lower()
         value = value.strip()
+        if field == "sitemap":
+            if value:
+                sitemaps.append(value)
+            continue
         if field == "user-agent":
             if not agents_open:
                 if cur_agents:
-                    groups.append((cur_agents, cur_rules))
+                    groups.append((cur_agents, cur_rules, cur_delays))
                 cur_agents = []
                 cur_rules = []
+                cur_delays = []
                 agents_open = True
             cur_agents.append(value.lower())
         elif field in ("allow", "disallow"):
@@ -105,15 +111,49 @@ def parse_robots(content: bytes | str, user_agent: str = "*"
                 continue  # empty Disallow = allow all (no rule)
             if value:
                 cur_rules.append((field == "allow", value))
+        elif field == "crawl-delay":
+            agents_open = False
+            try:
+                d = float(value)
+            except ValueError:
+                continue
+            if d >= 0:
+                cur_delays.append(d)
     if cur_agents:
-        groups.append((cur_agents, cur_rules))
-    # most specific matching agent: exact token beats '*'; ALL groups
-    # naming that agent merge (taking only the first group kept later
-    # groups' Disallows silently allowed — the r3 advice finding)
-    merged = [r for agents, rules in groups if ua in agents for r in rules]
-    if any(ua in agents for agents, _ in groups):
-        return merged
-    return [r for agents, rules in groups if "*" in agents for r in rules]
+        groups.append((cur_agents, cur_rules, cur_delays))
+    return groups, sitemaps
+
+
+def _matching_groups(groups, user_agent: str):
+    """Groups for the most specific matching agent: exact token beats
+    '*'; ALL groups naming that agent merge (taking only the first group
+    kept later groups' Disallows silently allowed — the r3 advice
+    finding)."""
+    ua = user_agent.lower()
+    if any(ua in agents for agents, _, _ in groups):
+        return [g for g in groups if ua in g[0]]
+    return [g for g in groups if "*" in g[0]]
+
+
+def parse_robots(content: bytes | str, user_agent: str = "*"
+                 ) -> list[tuple[bool, str]]:
+    """robots.txt bytes -> [(allow, path_pattern)] for `user_agent`.
+    Rules from EVERY group naming the winning agent are merged."""
+    groups, _ = _parse_groups(content)
+    return [r for _, rules, _ in _matching_groups(groups, user_agent)
+            for r in rules]
+
+
+def parse_robots_directives(content: bytes | str, user_agent: str = "*"
+                            ) -> tuple[float | None, list[str]]:
+    """(crawl_delay, sitemaps) for `user_agent`: the crawl delay is the
+    MAXIMUM across the winning agent's merged groups (the conservative
+    politeness choice when a file states several); sitemaps are
+    file-global."""
+    groups, sitemaps = _parse_groups(content)
+    delays = [d for _, _, ds in _matching_groups(groups, user_agent)
+              for d in ds]
+    return (max(delays) if delays else None), sitemaps
 
 
 def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
@@ -169,6 +209,51 @@ def robots_rules(robots: DataFrame, user_agent: str = "*",
 
     return robots.select(host_col, content_col).mapInPandas(
         gen, schema=RULES_SCHEMA
+    )
+
+
+DIRECTIVES_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("crawl_delay", T.DoubleType()),
+        T.StructField("sitemap", T.StringType()),
+    ]
+)
+
+
+def robots_directives(robots: DataFrame, user_agent: str = "*",
+                      host_col: str = "host",
+                      content_col: str = "robots_txt") -> DataFrame:
+    """Per-host politeness metadata: (host, crawl_delay, sitemap) — one
+    row per sitemap URL (sitemap NULL when the file declares none, so
+    every host with a parseable crawl delay still gets a row). The
+    crawl-delay column feeds a fetch scheduler's per-host rate limit;
+    same one-parse-per-host shape as robots_rules."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hosts, delays, maps = [], [], []
+            for host, content in zip(pdf[host_col], pdf[content_col]):
+                try:
+                    delay, sitemaps = parse_robots_directives(
+                        content or b"", user_agent
+                    )
+                except Exception:
+                    delay, sitemaps = None, []
+                for sm in sitemaps or [None]:
+                    hosts.append(host)
+                    delays.append(delay)
+                    maps.append(sm)
+            yield pd.DataFrame(
+                {
+                    "host": pd.Series(hosts, dtype="object"),
+                    "crawl_delay": pd.Series(delays, dtype="float64"),
+                    "sitemap": pd.Series(maps, dtype="object"),
+                }
+            )
+
+    return robots.select(host_col, content_col).mapInPandas(
+        gen, schema=DIRECTIVES_SCHEMA
     )
 
 

@@ -37,11 +37,12 @@ TWO_LEVEL_SUFFIXES = (
 _PSL_RESOURCE = "data/public_suffix_snapshot.dat"
 
 
-def load_psl_suffixes() -> list[str]:
-    """Plain rules from the bundled PSL snapshot (wildcard '*.' and
-    exception '!' rules are not modeled — documented in the snapshot
-    header). Empty list when the resource is missing (the callers then
-    fall back to the heuristic)."""
+def load_psl_rules() -> list[tuple[str, str]]:
+    """(suffix, kind) rules from the bundled PSL snapshot — kind is
+    'rule' (plain), 'wild' ('*.X' lines: any single label under X is a
+    public suffix) or 'exc' ('!Z' lines: Z is NOT a public suffix
+    despite a matching wildcard). Empty list when the resource is
+    missing (the callers then fall back to the heuristic)."""
     from importlib import resources
 
     try:
@@ -52,22 +53,33 @@ def load_psl_suffixes() -> list[str]:
         )
     except Exception:
         return []
-    out = []
+    out: list[tuple[str, str]] = []
     for line in text.splitlines():
         line = line.split("//", 1)[0].strip().lower()
-        if not line or line.startswith(("*", "!")):
+        if not line:
             continue
-        out.append(line)
+        if line.startswith("*."):
+            out.append((line[2:], "wild"))
+        elif line.startswith("!"):
+            out.append((line[1:], "exc"))
+        else:
+            out.append((line, "rule"))
     return out
 
 
+def load_psl_suffixes() -> list[str]:
+    """Plain-rule suffixes only (back-compat helper for tests/callers
+    that want a flat list)."""
+    return [s for s, kind in load_psl_rules() if kind == "rule"]
+
+
 def psl_table(spark):
-    """The bundled snapshot as a (suffix STRING) DataFrame (broadcast by
+    """The bundled snapshot as a (suffix, kind) DataFrame (broadcast by
     every consumer — a few hundred rows), or None when unavailable."""
-    suffixes = load_psl_suffixes()
-    if not suffixes:
+    rules = load_psl_rules()
+    if not rules:
         return None
-    return spark.createDataFrame([(s,) for s in suffixes], ["suffix"])
+    return spark.createDataFrame(rules, ["suffix", "kind"])
 
 
 def url_host(url: Column) -> Column:
@@ -169,13 +181,20 @@ def registered_domain_psl(df, psl=None, url_col: str = "url",
     broadcast, the LONGEST matching label-tail wins, and the registered
     domain is that suffix plus one label. `psl=None` loads the bundled
     snapshot (psl_table); when that is unavailable too, the whole column
-    falls back to the heuristic. Hosts matching no suffix fall back to
-    the two-label heuristic. Wildcard/exception PSL rules are not
-    modeled (document before use).
+    falls back to the heuristic. Hosts matching no rule fall back to
+    the two-label heuristic (the spec's implicit '*' default).
+
+    All three PSL rule kinds are modeled (publicsuffix.org algorithm):
+    a plain rule matching a label-tail makes that tail the public
+    suffix; a wildcard '*.X' matching makes (one label + X) the public
+    suffix; a matching exception '!Z' overrides everything and makes
+    (Z minus its first label) the public suffix. The prevailing
+    non-exception rule is the one with the most labels. A `psl` frame
+    without a `kind` column is treated as all-plain (back-compat).
 
     Scale shape: the mapping is computed on DISTINCT hosts (domain
     cardinality, tiny next to the row count), each host explodes its
-    <= 5 candidate tails against the broadcast suffix table, and rows
+    <= 5 candidate tails against the broadcast rules table, and rows
     join the mapping back on host — the production pattern the heuristic
     `registered_domain` approximates, no UDF anywhere."""
     if psl is None:
@@ -184,15 +203,22 @@ def registered_domain_psl(df, psl=None, url_col: str = "url",
             return df.withColumn(
                 out_col, registered_domain(F.col(url_col))
             )
+    if "kind" not in psl.columns:
+        psl = psl.withColumn("kind", F.lit("rule"))
     base = df.withColumn("_host", url_host(F.col(url_col)))
     hosts = base.select("_host").distinct()
     parts = F.split(F.col("_host"), r"\.")
     n = F.size(parts)
+    # candidate tails include the FULL host (k = n): an exception rule
+    # equal to the whole host (e.g. !www.ck) must match; a plain or
+    # wildcard rule matching the whole host yields ps_len >= n, the
+    # domain stays NULL, and the heuristic fallback applies (a host that
+    # IS a public suffix has no registered domain)
     cand = hosts.select(
         "_host",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.least(n - 1, F.lit(5)),
+                F.sequence(F.lit(1), F.greatest(F.least(n, F.lit(5)),
                                                 F.lit(1))),
                 lambda k: F.struct(
                     F.concat_ws(".", F.slice(parts, n - k + 1, k)).alias(
@@ -207,20 +233,41 @@ def registered_domain_psl(df, psl=None, url_col: str = "url",
         F.col("_cand.suffix").alias("suffix"),
         F.col("_cand.slen").alias("_slen"),
     )
+    # public-suffix label count per matching rule: plain = tail length,
+    # wildcard = tail + the one extra label, exception = tail - 1 (the
+    # candidate tails only go to n-1 labels, so a wildcard match always
+    # has its extra label available)
+    eff_len = (
+        F.when(F.col("kind") == "wild", F.col("_slen") + 1)
+        .when(F.col("kind") == "exc", F.col("_slen") - 1)
+        .otherwise(F.col("_slen"))
+    )
     hit = (
-        cand.join(F.broadcast(psl.select("suffix")), "suffix")
+        cand.join(F.broadcast(psl.select("suffix", "kind")), "suffix")
+        .select("_host", "kind", eff_len.alias("_eff"))
         .groupBy("_host")
-        .agg(F.max_by("suffix", "_slen").alias("_suffix"),
-             F.max("_slen").alias("_slen"))
+        .agg(
+            F.max(F.when(F.col("kind") == "exc", F.col("_eff"))).alias(
+                "_exc_len"
+            ),
+            F.max(F.when(F.col("kind") != "exc", F.col("_eff"))).alias(
+                "_best_len"
+            ),
+        )
+        .select(
+            "_host",
+            F.coalesce("_exc_len", "_best_len").alias("_ps_len"),
+        )
     )
     hp = F.split(F.col("_host"), r"\.")
+    hn = F.size(hp)
     mapping = hosts.join(hit, "_host", "left").select(
         "_host",
         F.when(
-            F.col("_suffix").isNotNull()
-            & (F.size(hp) > F.col("_slen")),
+            F.col("_ps_len").isNotNull() & (hn > F.col("_ps_len")),
             F.concat_ws(
-                ".", hp[F.size(hp) - F.col("_slen") - 1], F.col("_suffix")
+                ".",
+                F.slice(hp, hn - F.col("_ps_len"), F.col("_ps_len") + 1),
             ),
         ).alias("_psl_domain"),
     )

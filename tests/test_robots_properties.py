@@ -74,6 +74,53 @@ def test_parse_robots_merges_same_agent_groups():
     assert parse_robots(txt2, "other") == [(False, "/z")]
 
 
+def test_crawl_delay_and_sitemaps():
+    from document_ai_spark.functions.robots import parse_robots_directives
+
+    txt = (b"Sitemap: https://s.example/a.xml\n"
+           b"User-agent: fastbot\nCrawl-delay: 1\nDisallow: /x\n\n"
+           b"User-agent: *\nCrawl-delay: 5\n\n"
+           b"User-agent: *\nCrawl-delay: 2.5\n"
+           b"Sitemap: https://s.example/b.xml\n")
+    delay, maps = parse_robots_directives(txt)
+    assert delay == 5.0  # max across merged '*' groups (conservative)
+    assert maps == ["https://s.example/a.xml", "https://s.example/b.xml"]
+    assert parse_robots_directives(txt, "fastbot")[0] == 1.0
+    assert parse_robots_directives(b"User-agent: *\nCrawl-delay: nope\n") \
+        == (None, [])
+    assert parse_robots_directives(b"\xff garbage") == (None, [])
+
+
+def test_robots_directives_frame(spark):
+    from document_ai_spark.functions.robots import robots_directives
+
+    robots = spark.createDataFrame(
+        [
+            ("a.example",
+             b"User-agent: *\nCrawl-delay: 3\n"
+             b"Sitemap: https://a.example/s1.xml\n"
+             b"Sitemap: https://a.example/s2.xml\n"),
+            ("b.example", b"User-agent: *\nCrawl-delay: 7\n"),
+            ("c.example", b""),
+        ],
+        "host string, robots_txt binary",
+    )
+    rows = robots_directives(robots).collect()
+    by_host: dict[str, list] = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    assert {r.sitemap for r in by_host["a.example"]} == {
+        "https://a.example/s1.xml", "https://a.example/s2.xml"
+    }
+    assert all(r.crawl_delay == 3.0 for r in by_host["a.example"])
+    assert [(r.crawl_delay, r.sitemap) for r in by_host["b.example"]] == [
+        (7.0, None)
+    ]
+    (c,) = by_host["c.example"]
+    assert c.crawl_delay is None
+    assert c.sitemap is None
+
+
 def test_allowed_pages_wildcards(spark):
     robots = spark.createDataFrame(
         [(

@@ -133,6 +133,59 @@ def test_registered_domain_bundled_snapshot(spark):
     assert got["https://sub.deep.example.org/page"] == "example.org"
 
 
+def test_registered_domain_psl_wildcard_and_exception(spark):
+    """publicsuffix.org algorithm: '*.ck' makes every second-level label
+    a public suffix, '!www.ck' carves www.ck back out; wildcard matches
+    beat shorter plain rules; exceptions beat everything."""
+    from document_ai_spark.functions.url import registered_domain_psl
+
+    psl = spark.createDataFrame(
+        [
+            ("ck", "rule"), ("ck", "wild"), ("www.ck", "exc"),
+            ("bd", "wild"), ("com", "rule"),
+        ],
+        ["suffix", "kind"],
+    )
+    rows = [
+        ("https://foo.bar.ck/x",),       # bar.ck is a PS -> foo.bar.ck
+        ("https://www.ck/x",),           # exception -> ck is PS -> www.ck
+        ("https://sub.www.ck/x",),       # tail www.ck exc -> www.ck? no:
+                                         # candidate tails include www.ck
+                                         # (exc, ps=ck) and *.ck match on
+                                         # sub.www.ck... longest non-exc
+                                         # wins unless exc matched: exc
+                                         # matched -> ps=ck -> www.ck
+        ("https://shop.example.com.bd/x",),  # *.bd -> com.bd PS
+        ("https://a.example.com/x",),
+    ]
+    df = spark.createDataFrame(rows, ["url"])
+    got = {r.url: r.domain
+           for r in registered_domain_psl(df, psl).collect()}
+    assert got["https://foo.bar.ck/x"] == "foo.bar.ck"
+    assert got["https://www.ck/x"] == "www.ck"
+    assert got["https://sub.www.ck/x"] == "www.ck"
+    assert got["https://shop.example.com.bd/x"] == "example.com.bd"
+    assert got["https://a.example.com/x"] == "example.com"
+
+
+def test_bundled_snapshot_wildcards(spark):
+    from document_ai_spark.functions.url import (
+        load_psl_rules,
+        registered_domain_psl,
+    )
+
+    kinds = {(s, k) for s, k in load_psl_rules()}
+    assert ("ck", "wild") in kinds and ("www.ck", "exc") in kinds
+    assert ("bd", "wild") in kinds
+    df = spark.createDataFrame(
+        [("https://news.dhaka.gov.bd/story",), ("https://www.ck/",)],
+        ["url"],
+    )
+    got = {r.url: r.domain for r in registered_domain_psl(df).collect()}
+    assert got["https://news.dhaka.gov.bd/story"] == "dhaka.gov.bd"
+    assert got["https://www.ck/"] == "www.ck"
+
+
 def test_host_metrics_groups_by_true_etld1(spark):
     from document_ai_spark.functions.url import host_metrics
 
