@@ -322,6 +322,7 @@ def cmd_pipeline(args) -> int:
         n_shards=args.n_shards,
         shards_per_commit=args.shards_per_commit,
         run_id=args.run_id,
+        compact_mb=args.compact_mb,
     )
     print(json.dumps(summary))
     return 0
@@ -467,6 +468,9 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--n-shards", type=int, default=16)
     pl.add_argument("--shards-per-commit", type=int, default=4)
     pl.add_argument("--run-id", default=None)
+    pl.add_argument("--compact-mb", type=int, default=None,
+                    help="compact the extracted table into files of this "
+                    "target size before curation (small-file defrag)")
     pl.set_defaults(fn=cmd_pipeline)
 
     v = sub.add_parser("validate", help="QA predicates + golden accuracy")

@@ -90,10 +90,15 @@ def _nav(rng: random.Random) -> str:
     return f"<nav><ul>{items}</ul></nav>"
 
 
-def _chrome(rng: random.Random, title_word: str) -> tuple[str, str]:
+def _chrome(rng: random.Random, title_word: str,
+            noindex: bool = False) -> tuple[str, str]:
+    robots_meta = (
+        '<meta name="robots" content="noindex">' if noindex else ""
+    )
     head = (
         "<!DOCTYPE html><html><head><meta charset=\"utf-8\">"
-        f"<title>{title_word} site</title>"
+        + robots_meta
+        + f"<title>{title_word} site</title>"
         "<script>var t=1;</script><style>.x{color:red}</style></head><body>"
         + _nav(rng)
         + f"<header><h1>{title_word.upper()} PORTAL</h1></header>"
@@ -141,8 +146,9 @@ def _article(rng: random.Random, n_paras: int) -> tuple[str, str]:
     return "<main>" + "".join(html_parts) + "</main>", "\n\n".join(expected)
 
 
-def _page_clean(rng: random.Random, n_paras: int) -> tuple[bytes, str]:
-    head, tail = _chrome(rng, rng.choice(_WORDS))
+def _page_clean(rng: random.Random, n_paras: int,
+                noindex: bool = False) -> tuple[bytes, str]:
+    head, tail = _chrome(rng, rng.choice(_WORDS), noindex=noindex)
     art, expected = _article(rng, n_paras)
     return (head + art + tail).encode("utf-8"), expected
 
@@ -235,7 +241,13 @@ def gen_rows(n_docs: int, seed: int = 42, giant_paras: int = 150,
         causes: list[str] = []
         parse_ok = True
         if case == CASE_CLEAN:
-            html, expected = _page_clean(rng, rng.randint(*clean_paras))
+            # every 40th doc (slot 4 is always CLEAN) declares robots
+            # noindex in its head: extraction and goldens are unaffected
+            # (head content never reaches the article text), but the
+            # --respect-noindex / pipeline gate has real rows to drop
+            html, expected = _page_clean(
+                rng, rng.randint(*clean_paras), noindex=(i % 40 == 4)
+            )
         elif case == CASE_LINKFARM:
             html, expected = _page_linkfarm(rng)
             causes.append("empty_main_text")

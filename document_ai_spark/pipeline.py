@@ -46,6 +46,7 @@ def run_pipeline(
     n_shards: int = 16,
     shards_per_commit: int = 4,
     run_id: str | None = None,
+    compact_mb: int | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline. Returns a per-stage summary."""
     from .operators.chunking import chunk_documents
@@ -115,6 +116,24 @@ def run_pipeline(
         run_id=run_id,
     )
     summary["stages"]["extract"] = ex
+
+    # ---- 3b. optional compaction of the extracted table (the
+    # small-file problem: fine-grained shard commits fragment a table
+    # that every downstream stage scans) ----
+    if compact_mb:
+        from .operators.compact import compact_table
+
+        marker = os.path.join(workdir, "_compact_done")
+        if ex["chunks"] == 0 and os.path.exists(marker):
+            summary["stages"]["compact"] = {"skipped": True}
+        else:
+            stats = compact_table(
+                spark, extracted_dir,
+                target_file_bytes=compact_mb * 1024 * 1024,
+            )
+            with open(marker, "w") as f:
+                f.write("")
+            summary["stages"]["compact"] = {"skipped": False, **stats}
 
     # ---- 4. curate: funnel flags -> kept docs ----
     curated_dir = _sub(workdir, "curated")

@@ -132,6 +132,43 @@ def test_pipeline_crash_after_extract_resumes_exactly(
     assert _shards_content(spark, out) == _shards_content(spark, ref_out)
 
 
+def test_pipeline_compaction_stage(spark, pages_dir, tmp_path):
+    """--compact-mb defragments the extracted table between extract and
+    curate; shard content must be unaffected and the stage must skip on
+    a clean re-run."""
+    wd = str(tmp_path / "wd")
+    out = str(tmp_path / "shards")
+    s1 = run_pipeline(
+        spark, pages_dir, wd, out, rules=RULES,
+        chunk_words=64, chunk_overlap=8, n_shards=4, shards_per_commit=1,
+        compact_mb=64,
+    )
+    comp = s1["stages"]["compact"]
+    assert not comp["skipped"]
+    assert comp["after"]["n_files"] <= comp["before"]["n_files"]
+    assert comp["rows"] == 60
+    assert spark.read.parquet(
+        os.path.join(wd, "extracted")
+    ).count() == 60
+
+    ref = run_pipeline(
+        spark, pages_dir, str(tmp_path / "wd2"), str(tmp_path / "s2"),
+        rules=RULES, chunk_words=64, chunk_overlap=8, n_shards=4,
+        shards_per_commit=1,
+    )
+    assert "compact" not in ref["stages"]
+    assert _shards_content(spark, out) == _shards_content(
+        spark, str(tmp_path / "s2")
+    )
+
+    s3 = run_pipeline(
+        spark, pages_dir, wd, out, rules=RULES,
+        chunk_words=64, chunk_overlap=8, n_shards=4, shards_per_commit=1,
+        compact_mb=64,
+    )
+    assert s3["stages"]["compact"]["skipped"] is True
+
+
 def test_pipeline_cli_with_gates(spark, corpus_dir, tmp_path, capsys):
     """CLI verb end-to-end with the noindex gate + a robots gate that
     disallows one host."""

@@ -132,6 +132,41 @@ def test_suite_chunking_branch_reconstructs(spark):
     assert words == expect
 
 
+def test_datagen_noindex_pages_gate_non_vacuously(spark, corpus_dir):
+    """Every 40th doc declares robots noindex in its head: the polite
+    gate must drop exactly those rows, and their goldens must still be
+    byte-identical when extracted WITHOUT the gate (head content never
+    reaches the article text)."""
+    import os
+
+    from document_ai_spark.operators.extraction import extract_pages
+    from document_ai_spark.operators.pageflags import indexable_pages
+
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    kept = indexable_pages(pages)
+    dropped = pages.count() - kept.count()
+    assert dropped == 5  # i in {4, 44, 84, 124, 164} of 200
+    dropped_urls = {
+        r.url
+        for r in pages.join(
+            kept.select("url"), "url", "left_anti"
+        ).collect()
+    }
+    assert dropped_urls == {
+        f"https://site-{i % 97}.example/a/{i}" for i in (4, 44, 84, 124, 164)
+    }
+    # the ungated product path still extracts them byte-identically
+    golden = spark.read.parquet(
+        os.path.join(corpus_dir, "golden_text.parquet")
+    )
+    ex = extract_pages(pages, salted=False).join(golden, "url")
+    mism = ex.filter(
+        F.col("expected_text").isNotNull()
+        & (F.col("main_text") != F.col("expected_text"))
+    ).count()
+    assert mism == 0
+
+
 def test_minhash_banding_rows_per_band_inferred(planted):
     # (12, 3) infers r=4; distinct high-sim candidates only
     pairs = {

@@ -48,6 +48,26 @@ def test_ivf_topk_batched_probes(spark):
         ]
 
 
+def test_ivf_topk_external_probe_table(spark):
+    """Probes need not come from the corpus: a query table with its own
+    id space gets k candidates each, none excluded by accident."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.orderBy("vec_id").limit(2).collect()
+    probes = spark.createDataFrame(
+        [(1_000_000 + i, r.embedding) for i, r in enumerate(base)],
+        "probe_id long, embedding array<float>",
+    )
+    got = ivf_topk(emb, probes, k=7).collect()
+    by_probe: dict[int, list] = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert sorted(by_probe) == [1_000_000, 1_000_001]
+    for pid, rows in by_probe.items():
+        assert len(rows) == 7
+        # the corpus twin of this probe has cosine 1.0 and ranks first
+        assert rows[0].cosine == 1.0
+
+
 def test_connected_components_known_graph(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
