@@ -1,0 +1,62 @@
+"""Training-mix composition: deterministic per-domain sampling weights —
+the step that turns a curated corpus into the mixture a training run
+actually consumes (e.g. upsample wikipedia 3x, downsample common-crawl
+to 0.6).
+
+Everything is content-hash thresholded (never rand()): the keep/copy
+decision for a row is a pure function of (id, seed), so the mixture is
+reproducible across runs, partitionings and engines — the same property
+the train/val/test split relies on (CLAUDE.md oracle-parity rules).
+
+Scale shape: one scan; weights are a broadcast map (domain cardinality);
+upsampling materializes copies via explode(sequence()) — no shuffle at
+all unless the caller repartitions afterwards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = 1_000_000
+
+
+def domain_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Sample/upsample rows per domain to the given weights.
+
+    weight w < 1: keep a row iff hash(id, seed) mod 1e6 < w * 1e6
+    (deterministic w-fraction). weight w >= 1: every row gets floor(w)
+    copies, plus one more for the hash-selected frac(w) fraction. Output
+    adds `copy_no` (0-based; 0 for every surviving original). Domains
+    absent from `weights` get `default_weight`."""
+    if not all(w >= 0 for w in weights.values()):
+        raise ValueError("mixture weights must be >= 0")
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    w = F.coalesce(
+        wmap[F.col(domain_col)], F.lit(float(default_weight))
+    )
+    h = F.pmod(
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+        F.lit(_DENOM),
+    )
+    frac_keep = h < (w - F.floor(w)) * _DENOM
+    n_copies = (F.floor(w).cast("int")
+                + F.when(frac_keep, 1).otherwise(0))
+    out = df.withColumn("_n_copies", n_copies).filter(
+        F.col("_n_copies") > 0
+    )
+    return out.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), F.col("_n_copies") - 1)
+        ).alias("copy_no"),
+    ).drop("_n_copies")

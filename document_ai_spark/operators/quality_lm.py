@@ -1,0 +1,112 @@
+"""CCNet-style language-model quality scoring without KenLM: score every
+document by its mean unigram surprisal (bits/word) under an empirical
+word distribution, then bucket head/middle/tail like CCNet does with
+wiki-LM perplexity. Boilerplate, gibberish and OCR noise land in the
+tail bucket; fluent prose lands in the head.
+
+The vocabulary can be (a) the corpus itself (self-scoring — spot
+repetitive/outlier docs) or (b) a reference corpus's (word, count)
+table (the honest CCNet analog: score crawl text against a clean
+reference distribution). Either way the distribution is domain-sized
+and broadcast.
+
+Scale shape: one explode + one uniform-key groupBy builds the vocab
+(skipped when a reference vocab is supplied); scoring is explode ->
+broadcast join -> per-doc aggregate. Surprisals are quantized to
+micro-bits (BIGINT) before the per-doc sum so the aggregate is exact
+and order-independent (the float-sum rule from the oracle-parity
+notes), then divided once per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..queries_base import _norm_words
+
+_Q = 1_000_000  # micro-bits quantization for the exact integer sum
+
+
+def unigram_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over the corpus — the empirical unigram model."""
+    return (
+        df.select(F.explode(_norm_words(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def lm_quality_scores(
+    df: DataFrame,
+    vocab: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head_frac: float = 0.3,
+    tail_frac: float = 0.3,
+) -> DataFrame:
+    """-> (id, n_words, bits_per_word, lm_bucket) where bits_per_word is
+    the mean -log2 p(word) with add-one smoothing (OOV words under a
+    reference vocab get the smoothed floor probability 1/(N+V)), and
+    lm_bucket is 'head' / 'middle' / 'tail' by global bits_per_word
+    percentile (head = most fluent, CCNet's convention). Documents with
+    no words score NULL bits and bucket 'tail'."""
+    if vocab is None:
+        vocab = unigram_vocab(df, text_col)
+    totals = vocab.agg(
+        F.sum("count").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_norm_words(text_col)).alias("word"),
+    ).filter(F.col("word") != "")
+    joined = (
+        words.join(F.broadcast(vocab), "word", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_id",
+            # add-one smoothing: p = (c + 1) / (N + V); quantized
+            # surprisal so the per-doc sum is an exact BIGINT
+            F.round(
+                F.log2(
+                    (F.col("_n") + F.col("_v")).cast("double")
+                    / (F.coalesce(F.col("count"), F.lit(0)) + 1)
+                )
+                * _Q
+            ).cast("long").alias("_qbits"),
+        )
+    )
+    scores = joined.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(
+            F.sum("_qbits").cast("double") / (F.count(F.lit(1)) * _Q), 6
+        ).alias("bits_per_word"),
+    )
+    # global percentile thresholds (two scalars, computed once)
+    cuts = scores.agg(
+        F.expr(
+            f"percentile_approx(bits_per_word, {head_frac}, 10000)"
+        ).alias("_head_cut"),
+        F.expr(
+            f"percentile_approx(bits_per_word, {1.0 - tail_frac}, 10000)"
+        ).alias("_tail_cut"),
+    )
+    bucket = (
+        F.when(F.col("bits_per_word").isNull(), "tail")
+        .when(F.col("bits_per_word") <= F.col("_head_cut"), "head")
+        .when(F.col("bits_per_word") > F.col("_tail_cut"), "tail")
+        .otherwise("middle")
+    )
+    out = (
+        df.select(F.col(id_col).alias("_id"))
+        .join(scores, "_id", "left")
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            "bits_per_word",
+            bucket.alias("lm_bucket"),
+        )
+    )
+    return out

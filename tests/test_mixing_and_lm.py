@@ -1,0 +1,110 @@
+"""Training-mix composition (deterministic domain weights) and the
+CCNet-style unigram-LM quality scorer."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_ai_spark.operators.mixing import domain_mixture
+from document_ai_spark.operators.quality_lm import (
+    lm_quality_scores,
+    unigram_vocab,
+)
+
+
+@pytest.fixture(scope="module")
+def mix_df(spark):
+    rows = [
+        (i, ["web", "wiki", "code"][i % 3]) for i in range(3000)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "domain"])
+
+
+def test_domain_mixture_weights(mix_df):
+    out = domain_mixture(
+        mix_df, {"web": 0.5, "wiki": 3.0, "code": 2.5}
+    )
+    counts = {
+        r.domain: r.n
+        for r in out.groupBy("domain").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # 1000 source rows per domain; hash thresholds land within a few
+    # percent of the target at this size
+    assert abs(counts["web"] - 500) < 60
+    assert abs(counts["wiki"] - 3000) < 1  # integer weight: exact 3x
+    assert abs(counts["code"] - 2500) < 60
+    # upsampled copies are numbered and complete per kept row
+    wiki = out.filter(F.col("domain") == "wiki")
+    assert wiki.filter(F.col("copy_no") == 2).count() == 1000
+    assert wiki.groupBy("doc_id").count().filter("count <> 3").count() == 0
+
+
+def test_domain_mixture_deterministic_and_default(mix_df):
+    a = sorted(
+        (r.doc_id, r.copy_no)
+        for r in domain_mixture(mix_df, {"web": 0.4}, seed=7).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.copy_no)
+        for r in domain_mixture(mix_df, {"web": 0.4}, seed=7).collect()
+    )
+    assert a == b  # content-hash, never rand()
+    # unlisted domains keep default weight 1.0 exactly
+    out = domain_mixture(mix_df, {"web": 0.4}, seed=7)
+    assert out.filter(F.col("domain") == "wiki").count() == 1000
+    with pytest.raises(ValueError):
+        domain_mixture(mix_df, {"web": -1.0})
+
+
+def test_lm_quality_scores_self_vocab(spark):
+    fluent = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [(i, fluent) for i in range(8)] + [
+        (100, "zxqj vvkw pplm qqrs ttuv wwxy"),  # gibberish: rare words
+        (101, ""),                                # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in lm_quality_scores(df).collect()}
+    assert got[101].n_words == 0 and got[101].lm_bucket == "tail"
+    assert got[101].bits_per_word is None
+    # gibberish words are corpus-rare -> highest surprisal -> tail
+    assert got[100].lm_bucket == "tail"
+    assert got[100].bits_per_word > got[0].bits_per_word
+    # the fluent docs all share one score; the head fraction is fluent
+    assert got[0].lm_bucket == "head"
+
+    # spot-check the arithmetic against a direct computation
+    vocab = {
+        r.word: r["count"] for r in unigram_vocab(df).collect()
+    }
+    n = sum(vocab.values())
+    v = len(vocab)
+    words = fluent.strip().split()
+    expect = sum(
+        round(math.log2((n + v) / (vocab[w] + 1)) * 1_000_000)
+        for w in words
+    ) / (len(words) * 1_000_000)
+    assert abs(got[0].bits_per_word - round(expect, 6)) < 1e-6
+
+
+def test_lm_quality_scores_reference_vocab(spark):
+    """Scoring against an external reference distribution: words absent
+    from the reference get the smoothed floor, so off-distribution docs
+    score strictly worse."""
+    ref = spark.createDataFrame(
+        [("the", 1000), ("cat", 10), ("sat", 10)], ["word", "count"]
+    )
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zz yy xx")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.bits_per_word
+        for r in lm_quality_scores(df, vocab=ref).collect()
+    }
+    assert got[2] > got[1]
+    floor = math.log2((1020 + 3) / 1)
+    assert abs(got[2] - round(floor, 6)) < 1e-5
