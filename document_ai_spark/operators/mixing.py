@@ -35,7 +35,13 @@ def domain_mixture(
     (deterministic w-fraction). weight w >= 1: every row gets floor(w)
     copies, plus one more for the hash-selected frac(w) fraction. Output
     adds `copy_no` (0-based; 0 for every surviving original). Domains
-    absent from `weights` get `default_weight`."""
+    absent from `weights` get `default_weight`.
+
+    The weights dict becomes a literal map expression — right for the
+    usual dozens-of-domains mixture. A weight TABLE with millions of
+    keys (e.g. per-registered-domain weights) should broadcast-join a
+    (domain, weight) frame instead of inflating the plan; the hash
+    threshold logic is identical."""
     if not all(w >= 0 for w in weights.values()):
         raise ValueError("mixture weights must be >= 0")
     wmap = F.create_map(

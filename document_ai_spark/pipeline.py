@@ -5,6 +5,14 @@ reference's end-to-end main.py:11-66):
   -> extraction kernel -> curation funnel -> training-window chunking
   -> gzip JSONL shards
 
+Storage note for corpus scale: the gate stage (and the WARC parse
+stage) materialize a full (url, warc_ts, html) copy under the workdir —
+that is the price of stage-granular resume over the raw-payload stages.
+A storage-constrained deployment pre-gates its page table (the gate
+operators compose freely) and feeds the pipeline `input_format=table`,
+skipping both copies; everything from `extracted` on carries text, not
+raw html.
+
 Each stage writes its result under `workdir/<stage>` and is SKIPPED on
 re-run when its commit marker (`_SUCCESS`) is present — so a crash
 anywhere resumes at the failed stage, and the extract stage additionally

@@ -169,6 +169,40 @@ def test_pipeline_compaction_stage(spark, pages_dir, tmp_path):
     assert s3["stages"]["compact"]["skipped"] is True
 
 
+def test_pipeline_from_warc_archives(spark, corpus_dir, tmp_path):
+    """input_format='warc': archives parse once into the pages stage,
+    which is skipped on re-run."""
+    from tests.test_warc_source import _write_warcs
+
+    src = spark.read.parquet(
+        os.path.join(corpus_dir, "pages.parquet")
+    ).orderBy("url").limit(30).collect()
+    pages = [
+        (r.url, r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"), bytes(r.html))
+        for r in src
+    ]
+    paths = _write_warcs(tmp_path, pages, gz=True)
+    wd = str(tmp_path / "wd")
+    out = str(tmp_path / "shards")
+    s1 = run_pipeline(
+        spark, ",".join(paths), wd, out, input_format="warc",
+        rules=RULES, chunk_words=64, chunk_overlap=8, n_shards=2,
+        shards_per_commit=2,
+    )
+    assert not s1["stages"]["pages"]["skipped"]
+    assert s1["stages"]["pages"]["archives"] == 2
+    # 30 pages + 1 resync duplicate record; extraction is url-keyed rows
+    assert s1["stages"]["extract"]["docs"] == 31
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    s2 = run_pipeline(
+        spark, ",".join(paths), wd, out, input_format="warc",
+        rules=RULES, chunk_words=64, chunk_overlap=8, n_shards=2,
+        shards_per_commit=2,
+    )
+    assert s2["stages"]["pages"]["skipped"] is True
+    assert s2["stages"]["extract"]["chunks"] == 0
+
+
 def test_pipeline_cli_with_gates(spark, corpus_dir, tmp_path, capsys):
     """CLI verb end-to-end with the noindex gate + a robots gate that
     disallows one host."""
