@@ -261,6 +261,7 @@ def cmd_curate(args) -> int:
         curation_flags,
         funnel_counts,
         kept_filter,
+        lm_flags,
         neardup_keeper_flags,
     )
 
@@ -276,6 +277,12 @@ def cmd_curate(args) -> int:
             neardup_keeper_flags(
                 extracted, id_col="url", text_col="main_text"
             ),
+            "url",
+        )
+    if "lm" in rules:
+        # CCNet-style LM bucket stage (r4): drop the worst-surprisal tail
+        flags = flags.join(
+            lm_flags(extracted, id_col="url", text_col="main_text"),
             "url",
         )
     kept = kept_filter(flags, rules).select("url", "n_tokens")
@@ -295,6 +302,8 @@ def cmd_curate(args) -> int:
     }
     if "neardup" in rules:
         out["after_neardup"] = row.after_neardup
+    if "lm" in rules:
+        out["after_lang"] = row.after_lang
     print(json.dumps(out))
     return 0
 

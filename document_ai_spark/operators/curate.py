@@ -131,7 +131,26 @@ def neardup_keeper_flags(
     )
 
 
-ALL_RULES = ("dedup", "neardup", "quality", "gopher", "lang")
+def lm_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style LM stage (r4): (id, pass_lm) where pass_lm is true
+    for docs outside the worst perplexity bucket (lm_bucket != 'tail')
+    under operators/quality_lm's unigram scorer — self-scored by
+    default, or against a reference (word, count) vocab."""
+    from .quality_lm import lm_quality_scores
+
+    s = lm_quality_scores(df, vocab=vocab, id_col=id_col,
+                          text_col=text_col)
+    return s.select(
+        F.col(id_col), (F.col("lm_bucket") != "tail").alias("pass_lm")
+    )
+
+
+ALL_RULES = ("dedup", "neardup", "quality", "gopher", "lang", "lm")
 
 
 def kept_filter(
@@ -150,16 +169,21 @@ def kept_filter(
 def funnel_counts(flags: DataFrame) -> DataFrame:
     """One aggregation row: survivors at each stage + kept token total.
     Stage order: exact dedup -> near-dup cluster keeper (when the
-    pass_neardup column is present) -> quality -> gopher -> language."""
+    pass_neardup column is present) -> quality -> gopher -> language ->
+    LM bucket (when pass_lm is present)."""
     has_nd = "pass_neardup" in flags.columns
     has_lang = "pass_lang" in flags.columns
+    has_lm = "pass_lm" in flags.columns
     after_dedup = F.col("pass_dedup")
     after_nd = (
         after_dedup & F.col("pass_neardup") if has_nd else after_dedup
     )
     after_quality = after_nd & F.col("pass_quality")
     after_gopher = after_quality & F.col("pass_gopher")
-    kept = after_gopher & F.col("pass_lang") if has_lang else after_gopher
+    after_lang = (
+        after_gopher & F.col("pass_lang") if has_lang else after_gopher
+    )
+    kept = after_lang & F.col("pass_lm") if has_lm else after_lang
     aggs = [
         F.count(F.lit(1)).alias("total_docs"),
         F.sum(after_dedup.cast("long")).alias("after_dedup"),
@@ -169,6 +193,10 @@ def funnel_counts(flags: DataFrame) -> DataFrame:
     aggs += [
         F.sum(after_quality.cast("long")).alias("after_quality"),
         F.sum(after_gopher.cast("long")).alias("after_gopher"),
+    ]
+    if has_lm:
+        aggs.append(F.sum(after_lang.cast("long")).alias("after_lang"))
+    aggs += [
         F.sum(kept.cast("long")).alias("kept"),
         F.sum(F.when(kept, F.col("n_tokens"))).alias("kept_tokens"),
     ]

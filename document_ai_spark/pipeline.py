@@ -161,6 +161,13 @@ def run_pipeline(
                 ),
                 "url",
             )
+        if "lm" in rules:
+            from .operators.curate import lm_flags
+
+            flags = flags.join(
+                lm_flags(extracted, id_col="url", text_col="main_text"),
+                "url",
+            )
         kept = kept_filter(flags, rules).select("url")
         extracted.join(kept, "url", "left_semi").write.mode(
             "overwrite"

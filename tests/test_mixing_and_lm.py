@@ -91,6 +91,48 @@ def test_lm_quality_scores_self_vocab(spark):
     assert abs(got[0].bits_per_word - round(expect, 6)) < 1e-6
 
 
+def test_curate_cli_lm_rule(spark, corpus_dir, tmp_path, capsys):
+    """The 'lm' curation rule drops the tail perplexity bucket; funnel
+    stays monotonic and the written table matches kept."""
+    import json
+    import os
+
+    from document_ai_spark.__main__ import main
+    from document_ai_spark.operators.extraction import extract_pages
+
+    pages = spark.read.parquet(
+        os.path.join(corpus_dir, "pages.parquet")
+    ).orderBy("url").limit(80)
+    src = str(tmp_path / "ex")
+    extract_pages(pages, num_partitions=2).write.parquet(src)
+    out = str(tmp_path / "kept")
+    rc = main([
+        "curate", "--extracted", src, "--output", out,
+        "--rules", "dedup,quality,lm",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the funnel ladder reports every stage regardless of selected
+    # rules (gopher rejects the synthetic stopword-free vocabulary, so
+    # the ladder bottoms out at 0); `written` reflects the SELECTED
+    # rules dedup AND quality AND lm
+    assert (res["total_docs"] >= res["after_dedup"]
+            >= res["after_quality"] >= res["after_lang"] >= res["kept"])
+    assert res["written"] > 0
+    assert spark.read.parquet(out).count() == res["written"]
+    # the lm stage dropped a real tail: strictly fewer docs than
+    # dedup+quality alone keep
+    rc2 = main([
+        "curate", "--extracted", src,
+        "--output", str(tmp_path / "kept_dq"), "--rules", "dedup,quality",
+    ])
+    assert rc2 == 0
+    res_dq = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )
+    assert res["written"] < res_dq["written"]
+
+
 def test_lm_quality_scores_reference_vocab(spark):
     """Scoring against an external reference distribution: words absent
     from the reference get the smoothed floor, so off-distribution docs
