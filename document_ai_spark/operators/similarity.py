@@ -78,6 +78,10 @@ def ivf_topk(embeddings: DataFrame, probes: DataFrame, k: int = 10,
     """Batched IVF ANN: `probes` is a TABLE (probe_id, embedding); every
     probe searches the n_probe lists whose centroids are nearest to it.
     Returns (probe_id, vec_id, cosine), the top-k rows per probe.
+    Self-matches are excluded by id equality, so corpus probes keep
+    their vec_id as probe_id and EXTERNAL probe tables should use ids
+    disjoint from the corpus (or accept one dropped candidate on a
+    collision).
 
     Scale shape (r3 verdict item 1 — the per-probe driver round trip is
     gone): centroids are index METADATA (n_lists x dim, driver-side by

@@ -194,6 +194,13 @@ def test_pipeline_from_warc_archives(spark, corpus_dir, tmp_path):
     # 30 pages + 1 resync duplicate record; extraction is url-keyed rows
     assert s1["stages"]["extract"]["docs"] == 31
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    # the resync duplicate url collapsed to ONE crawl row: no url may
+    # repeat a chunk_no in the shards
+    content = _shards_content(spark, out)
+    assert len(content) == len({(u, c) for u, c, _ in content})
+    assert spark.read.parquet(
+        os.path.join(wd, "curated")
+    ).groupBy("url").count().filter("count > 1").count() == 0
     s2 = run_pipeline(
         spark, ",".join(paths), wd, out, input_format="warc",
         rules=RULES, chunk_words=64, chunk_overlap=8, n_shards=2,
