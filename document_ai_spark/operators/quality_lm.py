@@ -45,15 +45,26 @@ def lm_quality_scores(
     text_col: str = "text",
     head_frac: float = 0.3,
     tail_frac: float = 0.3,
+    max_vocab: int | None = 2_000_000,
 ) -> DataFrame:
     """-> (id, n_words, bits_per_word, lm_bucket) where bits_per_word is
     the mean -log2 p(word) with add-one smoothing (OOV words under a
     reference vocab get the smoothed floor probability 1/(N+V)), and
     lm_bucket is 'head' / 'middle' / 'tail' by global bits_per_word
     percentile (head = most fluent, CCNet's convention). Documents with
-    no words score NULL bits and bucket 'tail'."""
+    no words score NULL bits and bucket 'tail'.
+
+    `max_vocab` caps the broadcast model at the top-N words by count —
+    open-vocabulary web text has an unbounded long tail, and words
+    outside the cap simply score as OOV (the smoothed floor), which is
+    exactly what a bounded reference LM does. Pass None only when the
+    vocabulary is known to be broadcast-sized."""
     if vocab is None:
         vocab = unigram_vocab(df, text_col)
+    if max_vocab is not None:
+        vocab = vocab.orderBy(
+            F.col("count").desc(), F.col("word")
+        ).limit(max_vocab)
     totals = vocab.agg(
         F.sum("count").alias("_n"), F.count(F.lit(1)).alias("_v")
     )

@@ -106,7 +106,14 @@ def staged_write(
             names=[f_.name for f_ in _STATS_SCHEMA.fields],
         )
 
-    stats = df.mapInArrow(gen, schema=_STATS_SCHEMA).collect()
+    try:
+        stats = df.mapInArrow(gen, schema=_STATS_SCHEMA).collect()
+    except Exception:
+        # failed job: its staged files are useless — remove them so
+        # re-runs don't accumulate orphan staging dirs (the previous
+        # commit is untouched either way)
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
 
     by_pid: dict[int, list] = {}
     for r in stats:

@@ -37,9 +37,11 @@ def test_staged_write_failed_rerun_preserves_prior_commit(spark, tmp_path):
 
     with pytest.raises(Exception):
         staged_write(df, out, boom, ".txt")
-    # the failed job must not have touched the previous commit
+    # the failed job must not have touched the previous commit, and its
+    # staging dir must not linger
     assert _read_parts(out, ".txt") == parts
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [n for n in os.listdir(out) if n.startswith("_stage")]
     for p, data in before.items():
         assert open(os.path.join(out, p), "rb").read() == data
 
