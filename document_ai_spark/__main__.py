@@ -332,6 +332,7 @@ def cmd_pipeline(args) -> int:
         shards_per_commit=args.shards_per_commit,
         run_id=args.run_id,
         compact_mb=args.compact_mb,
+        pack_words=args.pack_words,
     )
     print(json.dumps(summary))
     return 0
@@ -480,6 +481,9 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--compact-mb", type=int, default=None,
                     help="compact the extracted table into files of this "
                     "target size before curation (small-file defrag)")
+    pl.add_argument("--pack-words", type=int, default=None,
+                    help="pack chunks into fixed word budgets before "
+                    "export (concat-and-chunk sequence packing)")
     pl.set_defaults(fn=cmd_pipeline)
 
     v = sub.add_parser("validate", help="QA predicates + golden accuracy")

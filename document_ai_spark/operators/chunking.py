@@ -56,3 +56,72 @@ def chunk_documents(
         F.concat_ws(" ", "_cw").alias("chunk_text"),
         F.size("_cw").alias("chunk_words"),
     )
+
+
+N_PACK_GROUPS = 1024
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    pack_words: int = 2048,
+    id_col: str = "doc_id",
+    words_col: str = "chunk_words",
+    n_groups: int = N_PACK_GROUPS,
+    seed: int = 0,
+) -> DataFrame:
+    """Assign chunks to fixed-budget training packs (the
+    concat-and-chunk packing every pretraining loader runs so short
+    documents don't waste context): -> input columns +
+    (pack_group, pack_no, pack_seq) where (pack_group, pack_no) is the
+    pack identity and pack_seq orders members inside it.
+
+    Distributed shape: rows hash into `n_groups` independent streams
+    (content-hash of the id — deterministic, never rand()); inside a
+    group a running word total (one window cumsum) cuts packs greedily
+    at the `pack_words` boundary. Each group's window is a separate
+    partition, so packing 10^12 chunks is n_groups-way parallel with
+    exactly one shuffle; no global sort, no driver state. A chunk wider
+    than `pack_words` becomes its own (oversized) pack — callers chunk
+    first, pack second.
+
+    Packing semantics (stream-cut, bounded overflow): a chunk belongs
+    to the pack its last word lands in when the running total is cut
+    every `pack_words`, so a pack holds at most
+    pack_words + max_chunk_words - 1 words and at least one chunk.
+    Exact capacity enforcement would need a sequential reset per group
+    (no plain window expresses it); with pack_words >> chunk width the
+    overflow is a few percent, and training loaders truncate/pad the
+    tail anyway. Greedy-by-hash-order also trades a few percent of fill
+    efficiency against first-fit-decreasing — both are the standard
+    trades at corpus scale."""
+    from pyspark.sql.window import Window as W
+
+    g = F.pmod(
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+        F.lit(n_groups),
+    ).cast("int")
+    o = F.xxhash64(
+        F.col(id_col).cast("string"),
+        F.coalesce(F.col("chunk_no"), F.lit(0)).cast("string")
+        if "chunk_no" in chunks.columns
+        else F.lit("0"),
+        F.lit(seed + 1),
+    )
+    d = chunks.withColumn("_g", g).withColumn("_o", o)
+    w = W.partitionBy("_g").orderBy("_o")
+    cum = F.sum(words_col).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # pack boundary: a chunk belongs to the pack its LAST word lands in
+    # when cutting the running total at pack_words; an oversized chunk
+    # still gets exactly one pack this way
+    d = d.withColumn("_cum", cum).withColumn(
+        "pack_no",
+        ((F.col("_cum") - 1) / pack_words).cast("int"),
+    )
+    wp = W.partitionBy("_g", "pack_no").orderBy("_o")
+    return (
+        d.withColumn("pack_seq", F.row_number().over(wp) - 1)
+        .withColumnRenamed("_g", "pack_group")
+        .drop("_o", "_cum")
+    )

@@ -55,6 +55,7 @@ def run_pipeline(
     shards_per_commit: int = 4,
     run_id: str | None = None,
     compact_mb: int | None = None,
+    pack_words: int | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline. Returns a per-stage summary."""
     from .operators.chunking import chunk_documents
@@ -208,15 +209,45 @@ def run_pipeline(
             "chunks": spark.read.parquet(chunks_dir).count(),
         }
 
+    # ---- 5b. optional sequence packing (concat-and-chunk: short
+    # chunks share fixed word budgets so training context isn't
+    # wasted) ----
+    export_src = chunks_dir
+    meta_cols = ("chunk_no", "n_chunks", "chunk_words")
+    if pack_words:
+        from .operators.chunking import pack_sequences
+
+        packs_dir = _sub(workdir, "packs")
+        if _committed(packs_dir):
+            summary["stages"]["pack"] = {"skipped": True}
+        else:
+            packed = pack_sequences(
+                spark.read.parquet(chunks_dir),
+                pack_words=pack_words, id_col="url",
+            )
+            packed.write.mode("overwrite").parquet(packs_dir)
+            n_packs = (
+                spark.read.parquet(packs_dir)
+                .select("pack_group", "pack_no").distinct().count()
+            )
+            summary["stages"]["pack"] = {
+                "skipped": False, "packs": n_packs,
+            }
+        export_src = packs_dir
+        meta_cols = (
+            "chunk_no", "n_chunks", "chunk_words",
+            "pack_group", "pack_no", "pack_seq",
+        )
+
     # ---- 6. export: gzip JSONL training shards ----
     if _committed(output):
         summary["stages"]["export"] = {"skipped": True}
     else:
         stats = write_jsonl(
-            spark.read.parquet(chunks_dir),
+            spark.read.parquet(export_src),
             output,
             text_col="chunk_text",
-            meta_cols=("chunk_no", "n_chunks", "chunk_words"),
+            meta_cols=meta_cols,
         )
         summary["stages"]["export"] = {"skipped": False, **stats}
     summary["output"] = output

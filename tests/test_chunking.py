@@ -68,3 +68,52 @@ def test_chunk_corpus_scale_counts(spark):
     )
     assert per_doc.filter("k != n").count() == 0  # emitted == declared
     assert chunks.filter("chunk_words > 50").count() == 0
+
+
+def test_pack_sequences_budget_and_completeness(spark):
+    from document_ai_spark.operators.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(20 + (i * 7) % 90)))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    chunks = chunk_documents(docs, max_words=32, overlap=4)
+    packed = pack_sequences(chunks, pack_words=128, n_groups=8)
+    got = packed.collect()
+    # completeness: every chunk appears exactly once
+    assert len(got) == chunks.count()
+    assert len({(r.doc_id, r.chunk_no) for r in got}) == len(got)
+    # budget: stream-cut bound pack_words + max_chunk - 1
+    from collections import defaultdict
+
+    totals = defaultdict(int)
+    seqs = defaultdict(list)
+    for r in got:
+        totals[(r.pack_group, r.pack_no)] += r.chunk_words
+        seqs[(r.pack_group, r.pack_no)].append(r.pack_seq)
+    assert all(t <= 128 + 32 - 1 for t in totals.values())
+    # most packs are well filled (stream-cut leaves only boundary slack)
+    filled = [t for t in totals.values()]
+    assert sum(f >= 96 for f in filled) > len(filled) * 0.6
+    # pack_seq is contiguous from 0 inside each pack
+    assert all(sorted(s) == list(range(len(s))) for s in seqs.values())
+
+
+def test_pack_sequences_deterministic(spark):
+    from document_ai_spark.operators.chunking import pack_sequences
+
+    rows = [(i, 10 + i % 23) for i in range(500)]
+    chunks = spark.createDataFrame(rows, ["doc_id", "chunk_words"])
+    a = sorted(
+        (r.doc_id, r.pack_group, r.pack_no, r.pack_seq)
+        for r in pack_sequences(chunks, pack_words=64).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.pack_group, r.pack_no, r.pack_seq)
+        for r in pack_sequences(chunks, pack_words=64).collect()
+    )
+    assert a == b

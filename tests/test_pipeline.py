@@ -169,6 +169,35 @@ def test_pipeline_compaction_stage(spark, pages_dir, tmp_path):
     assert s3["stages"]["compact"]["skipped"] is True
 
 
+def test_pipeline_packing_stage(spark, pages_dir, tmp_path):
+    """--pack-words groups chunks into fixed word budgets; exported
+    records carry the pack identity and cover every chunk once."""
+    wd = str(tmp_path / "wd")
+    out = str(tmp_path / "shards")
+    s = run_pipeline(
+        spark, pages_dir, wd, out, rules=RULES,
+        chunk_words=32, chunk_overlap=4, n_shards=2, shards_per_commit=2,
+        pack_words=96,
+    )
+    assert s["stages"]["pack"]["packs"] > 0
+    assert s["stages"]["export"]["records"] == s["stages"]["chunk"][
+        "chunks"
+    ]
+    shards = [
+        os.path.join(out, n)
+        for n in os.listdir(out)
+        if n.endswith(".jsonl.gz")
+    ]
+    rows = spark.read.json(shards).collect()
+    keys = {(r.url, int(r.meta.chunk_no)) for r in rows}
+    assert len(keys) == len(rows)  # every chunk exported exactly once
+    budgets: dict[tuple, int] = {}
+    for r in rows:
+        k = (int(r.meta.pack_group), int(r.meta.pack_no))
+        budgets[k] = budgets.get(k, 0) + int(r.meta.chunk_words)
+    assert all(t <= 96 + 32 - 1 for t in budgets.values())
+
+
 def test_pipeline_from_warc_archives(spark, corpus_dir, tmp_path):
     """input_format='warc': archives parse once into the pages stage,
     which is skipped on re-run."""
