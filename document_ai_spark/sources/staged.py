@@ -31,8 +31,31 @@ _STATS_SCHEMA = T.StructType(
         T.StructField("staged_file", T.StringType()),
         T.StructField("records", T.LongType()),
         T.StructField("bytes", T.LongType()),
+        T.StructField("md5", T.StringType()),
     ]
 )
+
+
+class _HashingFile:
+    """File wrapper that md5s every byte written — the shard checksum is
+    computed IN the task as it writes (a driver-side re-read of every
+    shard would serialize the whole commit through one process)."""
+
+    def __init__(self, f):
+        import hashlib
+
+        self._f = f
+        self._h = hashlib.md5()
+
+    def write(self, b):
+        self._h.update(b)
+        return self._f.write(b)
+
+    def flush(self):
+        self._f.flush()
+
+    def hexdigest(self) -> str:
+        return self._h.hexdigest()
 
 
 def staged_write(
@@ -76,7 +99,8 @@ def staged_write(
             stage, f"{pid:05d}-{attempt}-{_uuid.uuid4().hex}.tmp"
         )
         n = 0
-        with open(path, "wb") as raw:
+        with open(path, "wb") as raw0:
+            raw = _HashingFile(raw0)
             if stream_gzip:
                 import gzip as _gzip
 
@@ -102,6 +126,7 @@ def staged_write(
                 pa.array([path], pa.string()),
                 pa.array([n], pa.int64()),
                 pa.array([total], pa.int64()),
+                pa.array([raw.hexdigest()], pa.string()),
             ],
             names=[f_.name for f_ in _STATS_SCHEMA.fields],
         )
@@ -130,11 +155,17 @@ def staged_write(
     records = 0
     total_bytes = 0
     written = set()
+    manifest: dict[str, dict] = {}
     for pid, attempts in sorted(by_pid.items()):
         winner = attempts[0]
         final = os.path.join(out_dir, f"part-{pid:05d}{ext}")
         os.replace(winner.staged_file, final)
         written.add(os.path.basename(final))
+        manifest[os.path.basename(final)] = {
+            "records": winner.records,
+            "bytes": winner.bytes,
+            "md5": winner.md5,
+        }
         files += 1
         records += winner.records
         total_bytes += winner.bytes
@@ -154,6 +185,20 @@ def staged_write(
             except OSError:
                 pass
     shutil.rmtree(stage, ignore_errors=True)
+    # shard manifest (records/bytes/md5 per file, checksummed in-task):
+    # written BEFORE the marker so a committed dir always carries both —
+    # training loaders verify shards against it
+    import json as _json
+
+    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
+        _json.dump(
+            {
+                "files": manifest,
+                "records": records,
+                "bytes": total_bytes,
+            },
+            f, indent=1, sort_keys=True,
+        )
     with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
         f.write("")
     return {"files": files, "records": records, "bytes": total_bytes}

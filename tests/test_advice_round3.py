@@ -116,6 +116,32 @@ def test_jsonl_shard_is_single_gzip_stream(spark, tmp_path):
     assert back.count() == 200
 
 
+def test_staged_write_manifest_checksums(spark, tmp_path):
+    """Every commit carries _MANIFEST.json whose per-shard md5/bytes/
+    records match the files on disk (checksummed in-task)."""
+    import hashlib
+    import json
+
+    from document_ai_spark.sources.jsonl import write_jsonl
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [(f"https://e/{i}", ts, f"text number {i}") for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, main_text string"
+    ).repartition(3)
+    out = str(tmp_path / "shards")
+    stats = write_jsonl(df, out)
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["records"] == stats["records"] == 50
+    assert man["bytes"] == stats["bytes"]
+    assert len(man["files"]) == stats["files"]
+    for name, info in man["files"].items():
+        blob = open(os.path.join(out, name), "rb").read()
+        assert len(blob) == info["bytes"]
+        assert hashlib.md5(blob).hexdigest() == info["md5"]
+        assert len(gzip.decompress(blob).splitlines()) == info["records"]
+
+
 def test_indexable_pages_gates_per_crawl_row(spark):
     from document_ai_spark.operators.pageflags import indexable_pages
 

@@ -141,8 +141,9 @@ def test_wet_sink_roundtrip(spark, corpus_dir, tmp_path):
     assert stats["records"] == 50 and stats["files"] >= 1
 
     names = sorted(os.listdir(out))
-    assert "_SUCCESS" in names
-    assert all(n == "_SUCCESS" or n.endswith(".warc.wet.gz")
+    assert "_SUCCESS" in names and "_MANIFEST.json" in names
+    assert all(n in ("_SUCCESS", "_MANIFEST.json")
+               or n.endswith(".warc.wet.gz")
                for n in names)  # staging dir cleaned up
 
     back = read_wet(spark, [
