@@ -258,6 +258,7 @@ def cmd_curate(args) -> int:
     AND quality gate AND Gopher rule pack over main_text -> kept docs
     written out, per-stage funnel counts printed."""
     from document_ai_spark.operators.curate import (
+        collapse_recrawls,
         curation_flags,
         funnel_counts,
         kept_filter,
@@ -266,7 +267,7 @@ def cmd_curate(args) -> int:
     )
 
     spark = _spark(args)
-    extracted = spark.read.parquet(args.extracted)
+    extracted = collapse_recrawls(spark.read.parquet(args.extracted))
     flags = curation_flags(
         extracted, id_col="url", text_col="main_text", lang_col=None
     )
@@ -447,10 +448,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--output", required=True)
     c.add_argument(
         "--rules", default="dedup,quality,gopher",
-        help="comma list of keep rules (dedup,neardup,quality,gopher); "
-        "neardup adds the MinHash/LSH cluster-keeper stage; the "
-        "synthetic corpus vocabulary is stopword-free by construction, so "
-        "gopher's stopword-evidence rule rejects it — drop it there",
+        help="comma list of keep rules (dedup,neardup,quality,gopher,"
+        "lm); neardup adds the MinHash/LSH cluster-keeper stage, lm the "
+        "CCNet-style surprisal-tail drop; the synthetic corpus "
+        "vocabulary is stopword-free by construction, so gopher's "
+        "stopword-evidence rule rejects it — drop it there",
     )
     c.set_defaults(fn=cmd_curate)
 
@@ -472,7 +474,8 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--respect-noindex", action="store_true")
     pl.add_argument("--user-agent", default="*")
     pl.add_argument("--rules", default="dedup,quality,gopher",
-                    help="curation rules (dedup,neardup,quality,gopher)")
+                    help="curation rules (dedup,neardup,quality,gopher,"
+                    "lm)")
     pl.add_argument("--chunk-words", type=int, default=512)
     pl.add_argument("--chunk-overlap", type=int, default=64)
     pl.add_argument("--n-shards", type=int, default=16)

@@ -234,9 +234,12 @@ def registered_domain_psl(df, psl=None, url_col: str = "url",
         F.col("_cand.slen").alias("_slen"),
     )
     # public-suffix label count per matching rule: plain = tail length,
-    # wildcard = tail + the one extra label, exception = tail - 1 (the
-    # candidate tails only go to n-1 labels, so a wildcard match always
-    # has its extra label available)
+    # wildcard = tail + the one extra label, exception = tail - 1.
+    # Candidate tails go up to the FULL host (k = n), so a wildcard or
+    # plain rule matching the whole host yields ps_len >= n — the
+    # `hn > _ps_len` guard below maps that to NULL (host IS a public
+    # suffix, no registered domain) and the heuristic fallback applies;
+    # do not remove that guard
     eff_len = (
         F.when(F.col("kind") == "wild", F.col("_slen") + 1)
         .when(F.col("kind") == "exc", F.col("_slen") - 1)

@@ -131,6 +131,23 @@ def neardup_keeper_flags(
     )
 
 
+def collapse_recrawls(
+    df: DataFrame,
+    id_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Keep ONE row per id (latest ts): re-crawled urls otherwise sail
+    through the id-keyed exact-dedup flag (same id = same keeper) and
+    every flag join multiplies — 2 crawl rows x neardup x lm = 8 flag
+    rows per url. Every curation entry point runs this first."""
+    w = W.partitionBy(id_col).orderBy(F.col(ts_col).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def lm_flags(
     df: DataFrame,
     id_col: str = "doc_id",

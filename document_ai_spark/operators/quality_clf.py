@@ -17,8 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..queries_base import _norm_words
-
 FEATURE_COLS = (
     "f_n_tokens",
     "f_mean_wl",
@@ -36,8 +34,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the FEATURE_COLS — cheap, language-agnostic shape
     statistics (the classic quality-classifier feature set), all
     column expressions over one materialized words array."""
-    t = F.col(text_col)
-    d = df.withColumn("_w", _norm_words(text_col))
+    # NULL text degrades to the empty document (the other quality paths'
+    # posture); un-coalesced NULLs would propagate into the feature
+    # columns and crash VectorAssembler (handleInvalid='error')
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    d = df.withColumn(
+        "_w", F.split(F.regexp_replace(F.trim(t), r"\s+", " "), " ")
+    )
     n = F.size("_w").cast("double")
     nz = F.greatest(n, F.lit(1.0))
     n_stop = F.size(
@@ -115,9 +118,12 @@ def score_quality(
     scored = model.transform(
         asm.transform(quality_features(df, text_col))
     )
-    p1 = vector_to_array(F.col("probability"))[1]
+    # threshold the ROUNDED probability so clf_quality and pass_clf can
+    # never contradict each other at the boundary (the repo-wide
+    # round-to-6dp-before-comparing convention)
+    p1 = F.round(vector_to_array(F.col("probability"))[1], 6)
     return scored.select(
         *df.columns,
-        F.round(p1, 6).alias("clf_quality"),
+        p1.alias("clf_quality"),
         (p1 >= keep_threshold).alias("pass_clf"),
     )

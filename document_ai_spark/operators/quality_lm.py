@@ -65,6 +65,11 @@ def lm_quality_scores(
         vocab = vocab.orderBy(
             F.col("count").desc(), F.col("word")
         ).limit(max_vocab)
+    # materialize the (broadcast-sized) model once: `vocab` feeds both
+    # the totals aggregate and the scoring join, and the self-derived
+    # build (explode + groupBy + sort-limit) would otherwise run twice
+    # per action — same three-use shape _q_shared_passages checkpoints
+    vocab = vocab.localCheckpoint(eager=True)
     totals = vocab.agg(
         F.sum("count").alias("_n"), F.count(F.lit(1)).alias("_v")
     )
@@ -94,6 +99,9 @@ def lm_quality_scores(
             F.sum("_qbits").cast("double") / (F.count(F.lit(1)) * _Q), 6
         ).alias("bits_per_word"),
     )
+    # scores are consumed twice (percentile cuts + final join): cut the
+    # plan so the whole explode->join->aggregate doesn't run twice
+    scores = scores.localCheckpoint(eager=True)
     # global percentile thresholds (two scalars, computed once)
     cuts = scores.agg(
         F.expr(

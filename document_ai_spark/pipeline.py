@@ -149,20 +149,13 @@ def run_pipeline(
     if _committed(curated_dir):
         summary["stages"]["curate"] = {"skipped": True}
     else:
-        from pyspark.sql import functions as F
-        from pyspark.sql.window import Window as W
+        from .operators.curate import collapse_recrawls
 
-        extracted = spark.read.parquet(extracted_dir)
         # re-crawled urls (a WARC can carry the same url twice) collapse
         # to the NEWEST crawl row before curation — duplicate url rows
         # would otherwise sail through the url-keyed exact-dedup flag and
         # double every downstream chunk via the chunk<->warc_ts join
-        w_url = W.partitionBy("url").orderBy(F.col("warc_ts").desc())
-        extracted = (
-            extracted.withColumn("_rn", F.row_number().over(w_url))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        extracted = collapse_recrawls(spark.read.parquet(extracted_dir))
         flags = curation_flags(
             extracted, id_col="url", text_col="main_text", lang_col=None
         )

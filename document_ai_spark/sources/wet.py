@@ -27,12 +27,18 @@ def _wet_record(url: str, ts, text: str) -> bytes:
     # the CRLF record framing — strip them before building the block
     url = _CTRL_RE.sub("", url or "")
     body = text.encode("utf-8")
+    # a non-WARC-sourced table may carry NULL timestamps; WARC-Date is
+    # mandatory, so fall back to the epoch sentinel rather than failing
+    # the task
+    date = (
+        ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts
+        else "1970-01-01T00:00:00Z"
+    )
     headers = (
         b"WARC/1.0\r\n"
         b"WARC-Type: conversion\r\n"
         b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
-        b"WARC-Date: "
-        + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode("ascii") + b"\r\n"
+        b"WARC-Date: " + date.encode("ascii") + b"\r\n"
         b"Content-Type: text/plain\r\n"
         b"Content-Length: " + str(len(body)).encode("ascii") + b"\r\n"
         b"\r\n"

@@ -116,6 +116,25 @@ def test_jsonl_shard_is_single_gzip_stream(spark, tmp_path):
     assert back.count() == 200
 
 
+def test_wet_null_timestamp_fallback(spark, tmp_path):
+    """Non-WARC-sourced rows may carry NULL warc_ts; the WET sink must
+    emit the epoch sentinel, not crash the task."""
+    from document_ai_spark.sources.wet import read_wet, write_wet
+
+    df = spark.createDataFrame(
+        [("https://a.example/x", None, "hello")],
+        "url string, warc_ts timestamp, main_text string",
+    )
+    out = str(tmp_path / "wet")
+    assert write_wet(df, out)["records"] == 1
+    back = read_wet(spark, [
+        os.path.join(out, n) for n in os.listdir(out)
+        if n.endswith(".warc.wet.gz")
+    ]).collect()
+    assert back[0].text == "hello"
+    assert back[0].warc_ts.year == 1970
+
+
 def test_staged_write_manifest_checksums(spark, tmp_path):
     """Every commit carries _MANIFEST.json whose per-shard md5/bytes/
     records match the files on disk (checksummed in-task)."""

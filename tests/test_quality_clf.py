@@ -75,6 +75,22 @@ def test_classifier_separates_planted_corpora(spark, corpora):
     }
 
 
+def test_classifier_total_on_null_text(spark, corpora):
+    """NULL text degrades to the empty document instead of blowing up
+    VectorAssembler during fit or transform."""
+    pos, neg = corpora
+    dirty = neg.unionByName(
+        spark.createDataFrame(
+            [(9999, None)], "doc_id long, text string"
+        )
+    )
+    model = train_quality_classifier(pos, dirty)
+    scored = score_quality(model, dirty)
+    assert scored.count() == dirty.count()
+    row = scored.filter("doc_id = 9999").collect()[0]
+    assert 0.0 <= row.clf_quality <= 1.0
+
+
 def test_classifier_threshold_monotone(spark, corpora):
     pos, neg = corpora
     model = train_quality_classifier(pos, neg)
