@@ -1,0 +1,85 @@
+"""Crawl snapshot diffing + the packing property fuzz (both r4
+incremental-pipeline bookkeeping ops)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from document_ai_spark.operators.crawldiff import (
+    crawl_diff,
+    diff_counts,
+    refresh_targets,
+)
+
+
+def test_crawl_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("u/1", "alpha"), ("u/2", "beta"), ("u/3", "gamma"),
+         ("u/4", None)],
+        "url string, main_text string",
+    )
+    new = spark.createDataFrame(
+        [("u/2", "beta"), ("u/3", "GAMMA2"), ("u/4", ""), ("u/5", "new")],
+        "url string, main_text string",
+    )
+    d = {r.url: r.status for r in crawl_diff(old, new).collect()}
+    assert d == {
+        "u/1": "removed",
+        "u/2": "unchanged",
+        "u/3": "changed",
+        "u/4": "unchanged",  # NULL and '' hash alike (coalesce policy)
+        "u/5": "added",
+    }
+    targets = {r.url for r in refresh_targets(old, new).collect()}
+    assert targets == {"u/3", "u/5"}
+    counts = {r.status: r.n for r in diff_counts(old, new).collect()}
+    assert counts == {
+        "removed": 1, "unchanged": 2, "changed": 1, "added": 1
+    }
+
+
+def test_refresh_targets_passthrough_columns(spark):
+    old = spark.createDataFrame(
+        [("u/1", "x", 1)], "url string, main_text string, extra int"
+    )
+    new = spark.createDataFrame(
+        [("u/1", "y", 2), ("u/2", "z", 3)],
+        "url string, main_text string, extra int",
+    )
+    rows = refresh_targets(old, new).orderBy("url").collect()
+    assert [(r.url, r.main_text, r.extra) for r in rows] == [
+        ("u/1", "y", 2), ("u/2", "z", 3)
+    ]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1,
+             max_size=60),
+    st.integers(min_value=16, max_value=64),
+)
+def test_pack_sequences_invariants_fuzz(spark, chunk_widths, pack_words):
+    """For arbitrary chunk widths and budgets: completeness, the
+    stream-cut budget bound, and per-pack contiguity all hold."""
+    from document_ai_spark.operators.chunking import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(chunk_widths)],
+        "doc_id long, chunk_words int",
+    )
+    got = pack_sequences(chunks, pack_words=pack_words, n_groups=4)
+    rows = got.collect()
+    assert sorted(r.doc_id for r in rows) == sorted(
+        range(len(chunk_widths))
+    )
+    by_pack: dict[tuple, list] = {}
+    for r in rows:
+        by_pack.setdefault((r.pack_group, r.pack_no), []).append(r)
+    bound = pack_words + max(chunk_widths) - 1
+    for members in by_pack.values():
+        assert sum(m.chunk_words for m in members) <= bound
+        assert sorted(m.pack_seq for m in members) == list(
+            range(len(members))
+        )
