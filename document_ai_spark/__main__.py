@@ -334,6 +334,7 @@ def cmd_pipeline(args) -> int:
         run_id=args.run_id,
         compact_mb=args.compact_mb,
         pack_words=args.pack_words,
+        baseline_pages=args.baseline_pages,
     )
     print(json.dumps(summary))
     return 0
@@ -487,6 +488,10 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--pack-words", type=int, default=None,
                     help="pack chunks into fixed word budgets before "
                     "export (concat-and-chunk sequence packing)")
+    pl.add_argument("--baseline-pages", default=None,
+                    help="previous crawl's pages parquet: process only "
+                    "pages whose html is new or changed (incremental "
+                    "re-crawl mode)")
     pl.set_defaults(fn=cmd_pipeline)
 
     v = sub.add_parser("validate", help="QA predicates + golden accuracy")

@@ -18,6 +18,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _content_hash(df: DataFrame, content_col: str) -> F.Column:
+    """md5 of the content column — string columns encode as UTF-8,
+    binary columns (e.g. raw `html`) hash directly; NULL hashes like
+    empty."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[content_col].dataType, T.BinaryType):
+        return F.md5(F.coalesce(F.col(content_col), F.lit(b"")))
+    return F.md5(
+        F.encode(F.coalesce(F.col(content_col), F.lit("")), "UTF-8")
+    )
+
+
 def crawl_diff(
     old: DataFrame,
     new: DataFrame,
@@ -27,15 +40,11 @@ def crawl_diff(
     """-> (id, status, old_hash, new_hash)."""
     oh = old.select(
         F.col(id_col).alias("_id"),
-        F.md5(
-            F.encode(F.coalesce(F.col(content_col), F.lit("")), "UTF-8")
-        ).alias("old_hash"),
+        _content_hash(old, content_col).alias("old_hash"),
     )
     nh = new.select(
         F.col(id_col).alias("_id"),
-        F.md5(
-            F.encode(F.coalesce(F.col(content_col), F.lit("")), "UTF-8")
-        ).alias("new_hash"),
+        _content_hash(new, content_col).alias("new_hash"),
     )
     status = (
         F.when(F.col("old_hash").isNull(), "added")

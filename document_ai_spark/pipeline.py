@@ -56,6 +56,7 @@ def run_pipeline(
     run_id: str | None = None,
     compact_mb: int | None = None,
     pack_words: int | None = None,
+    baseline_pages: str | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline. Returns a per-stage summary."""
     from .operators.chunking import chunk_documents
@@ -89,6 +90,34 @@ def run_pipeline(
     else:
         pages_path = input_path
         summary["stages"]["pages"] = {"skipped": True, "source": "table"}
+
+    # ---- 1b. optional incremental mode: keep only pages whose raw
+    # html is new or changed vs a previous crawl's pages table — the
+    # added+changed slice is all that is worth re-extracting. Removed
+    # urls stay in the previous outputs (append semantics); pruning
+    # them is the caller's retention policy.
+    if baseline_pages:
+        from .operators.crawldiff import diff_counts, refresh_targets
+
+        inc_dir = _sub(workdir, "incremental")
+        if _committed(inc_dir):
+            summary["stages"]["incremental"] = {"skipped": True}
+        else:
+            old = spark.read.parquet(baseline_pages)
+            cur = spark.read.parquet(pages_path)
+            refresh_targets(
+                old, cur, id_col="url", content_col="html"
+            ).write.mode("overwrite").parquet(inc_dir)
+            counts = {
+                r.status: r.n
+                for r in diff_counts(
+                    old, cur, id_col="url", content_col="html"
+                ).collect()
+            }
+            summary["stages"]["incremental"] = {
+                "skipped": False, **counts,
+            }
+        pages_path = inc_dir
 
     # ---- 2. policy gate: robots allow + per-row noindex ----
     gated_path = pages_path

@@ -239,6 +239,43 @@ def test_pipeline_from_warc_archives(spark, corpus_dir, tmp_path):
     assert s2["stages"]["extract"]["chunks"] == 0
 
 
+def test_pipeline_incremental_baseline(spark, pages_dir, tmp_path):
+    """--baseline-pages: only new-or-changed html is re-processed; the
+    diff counts land in the summary."""
+    pages = spark.read.parquet(pages_dir)
+    # second crawl: drop 5 urls, mutate the html of 3, add 2 new
+    urls = sorted(r.url for r in pages.select("url").collect())
+    dropped = set(urls[:5])
+    changed = set(urls[5:8])
+    cur = pages.filter(~F.col("url").isin(*dropped)).withColumn(
+        "html",
+        F.when(
+            F.col("url").isin(*changed),
+            F.concat(F.col("html"), F.lit(b"<!--recrawl-->")),
+        ).otherwise(F.col("html")),
+    )
+    added = pages.filter(F.col("url").isin(urls[0])).withColumn(
+        "url", F.concat(F.col("url"), F.lit("-new"))
+    )
+    added2 = pages.filter(F.col("url").isin(urls[1])).withColumn(
+        "url", F.concat(F.col("url"), F.lit("-new2"))
+    )
+    cur = cur.unionByName(added).unionByName(added2)
+    cur_dir = str(tmp_path / "crawl2")
+    cur.write.parquet(cur_dir)
+
+    s = run_pipeline(
+        spark, cur_dir, str(tmp_path / "wd"), str(tmp_path / "shards"),
+        rules=RULES, chunk_words=64, chunk_overlap=8, n_shards=2,
+        shards_per_commit=2, baseline_pages=pages_dir,
+    )
+    inc = s["stages"]["incremental"]
+    assert inc["added"] == 2 and inc["changed"] == 3
+    assert inc["removed"] == 5 and inc["unchanged"] == 55 - 3
+    # only the 5 refresh targets were extracted
+    assert s["stages"]["extract"]["docs"] == 5
+
+
 def test_pipeline_cli_with_gates(spark, corpus_dir, tmp_path, capsys):
     """CLI verb end-to-end with the noindex gate + a robots gate that
     disallows one host."""
