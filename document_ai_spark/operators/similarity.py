@@ -157,8 +157,34 @@ def ivf_topk(embeddings: DataFrame, probes: DataFrame, k: int = 10,
     )
 
 
+# below this edge count the whole graph fits comfortably on the driver
+# and the iterative loop is pure scheduler latency (measured at sf0.1:
+# ~3 s of jobs for an 826-edge graph whose union-find takes microseconds)
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(rows) -> dict[int, int]:
+    """Path-compressed union-find; component = min member id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20,
-                         with_rounds: bool = False):
+                         with_rounds: bool = False,
+                         driver_threshold: int = DRIVER_CC_MAX_EDGES):
     """edges(src BIGINT, dst BIGINT) -> (node, component) where component is
     the minimum node id reachable (or (labels, n_rounds) when
     `with_rounds` — the round count is the scale diagnostic: min-label
@@ -167,7 +193,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     chain to <= 6 rounds). Each round joins labels across edges, keeps
     the per-node minimum, then jumps component <- label(component);
     stops when no label changes. All shuffle-friendly hash joins on
-    node id."""
+    node id.
+
+    Adaptive size gate (same philosophy as the extraction path's
+    adaptive salting): the edge set is materialized and counted anyway,
+    and an LSH candidate graph is usually minuscule next to the corpus
+    — at or below `driver_threshold` edges the component labels come
+    from a driver-side union-find (microseconds) instead of paying
+    O(log d) rounds of scheduler latency; above it, the distributed
+    loop runs. Both paths compute the identical min-label fixpoint and
+    are cross-checked in tests (pass driver_threshold=0 to force the
+    distributed path). Rounds reported for the driver path: 0."""
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -180,6 +216,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     sym = sym.localCheckpoint(eager=True)
     n_edges = sym.count()
     spark = edges.sparkSession
+    if n_edges <= driver_threshold:
+        comp = _driver_union_find(
+            [(r.src, r.dst) for r in sym.collect()]
+        )
+        labels = spark.createDataFrame(
+            list(comp.items()) or [(None, None)],
+            "node BIGINT, component BIGINT",
+        )
+        if not comp:
+            labels = labels.filter(F.col("node").isNotNull())
+        return (labels, 0) if with_rounds else labels
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(1, min(width, n_edges // 100_000 + 1))
     sym = sym.repartition(parts, "src")

@@ -66,14 +66,40 @@ def test_connected_components_log_rounds_on_chain(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], ["src", "dst"]
     )
-    labels, rounds = connected_components(edges, with_rounds=True)
-    assert rounds <= 6, rounds
+    # driver_threshold=0 forces the DISTRIBUTED loop (the adaptive gate
+    # would solve 30 edges driver-side)
+    labels, rounds = connected_components(
+        edges, with_rounds=True, driver_threshold=0
+    )
+    assert 0 < rounds <= 6, rounds
     got = labels.agg(
         F.countDistinct("component").alias("c"),
         F.min("component").alias("m"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     assert (got.c, got.m, got.n) == (1, 0, 31)
+
+
+def test_connected_components_paths_agree(spark):
+    """The adaptive driver union-find and the distributed min-label loop
+    must compute the identical fixpoint on a messy random graph."""
+    import random
+
+    rng = random.Random(13)
+    edges = [
+        (rng.randint(0, 120), rng.randint(0, 120)) for _ in range(150)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    from document_ai_spark.operators.similarity import connected_components
+
+    fast, r_fast = connected_components(df, with_rounds=True)
+    slow, r_slow = connected_components(
+        df, with_rounds=True, driver_threshold=0
+    )
+    assert r_fast == 0 and r_slow > 0
+    a = {(r.node, r.component) for r in fast.collect()}
+    b = {(r.node, r.component) for r in slow.collect()}
+    assert a == b
 
 
 def test_suite_shared_passages_branch_non_vacuous(spark):
