@@ -144,10 +144,14 @@ keeper, quality, Gopher pack, language-ID agreement) come from ONE scan
 of the documents table — composing the standalone queries would re-read
 the 100 TB text column once per flag. The r3 near-dup stage adds the
 MinHash/LSH candidate pipeline (bucketed band self-join, never all-pairs)
-plus O(log diameter) connected-component rounds whose width adapts to the
-measured candidate-edge count; its keeper flags join back on doc_id. The
+plus connected components under an adaptive size gate: candidate graphs
+<= 1M edges (the sf LSH graph is a few hundred) resolve via a driver
+union-find — visible here as the broadcast ExistingRDD label side —
+while larger graphs run the O(log diameter) pointer-jumping loop whose
+width adapts to the measured edge count (both paths cross-checked for
+identical fixpoints in tests). Keeper flags join back on doc_id. The
 same engine (operators/curate.py) runs against freshly extracted tables
-via the `curate` CLI (`--rules dedup,neardup,quality,gopher`).
+via the `curate` CLI (`--rules dedup,neardup,quality,gopher,lm`).
 """,
         "## line_dedup — C4-style line-level corpus dedup\n",
         "```\n" + plan(TX.q_line_dedup(spark, sf),
