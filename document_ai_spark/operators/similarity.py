@@ -220,9 +220,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         comp = _driver_union_find(
             [(r.src, r.dst) for r in sym.collect()]
         )
+        # node ids keep the edges' type (url-keyed dedup clusters use
+        # STRING ids); min-label order is the same on both paths (numeric
+        # or lexicographic min)
+        ntype = sym.schema["src"].dataType.simpleString()
         labels = spark.createDataFrame(
             list(comp.items()) or [(None, None)],
-            "node BIGINT, component BIGINT",
+            f"node {ntype}, component {ntype}",
         )
         if not comp:
             labels = labels.filter(F.col("node").isNotNull())
