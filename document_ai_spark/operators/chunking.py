@@ -96,6 +96,8 @@ def pack_sequences(
     trades at corpus scale."""
     from pyspark.sql.window import Window as W
 
+    if pack_words < 1:
+        raise ValueError(f"pack_words must be >= 1, got {pack_words}")
     g = F.pmod(
         F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
         F.lit(n_groups),

@@ -135,12 +135,22 @@ def collapse_recrawls(
     df: DataFrame,
     id_col: str = "url",
     ts_col: str = "warc_ts",
+    tiebreak_cols: tuple[str, ...] = ("main_text",),
 ) -> DataFrame:
     """Keep ONE row per id (latest ts): re-crawled urls otherwise sail
     through the id-keyed exact-dedup flag (same id = same keeper) and
     every flag join multiplies — 2 crawl rows x neardup x lm = 8 flag
-    rows per url. Every curation entry point runs this first."""
-    w = W.partitionBy(id_col).orderBy(F.col(ts_col).desc())
+    rows per url. Every curation entry point runs this first.
+
+    Equal timestamps (WARC-Date is second-granular) break ties on the
+    content columns in `tiebreak_cols` (those present in df), so the
+    winner is a pure function of the data — never of partition order."""
+    order = [F.col(ts_col).desc()] + [
+        F.col(c).asc_nulls_first()
+        for c in tiebreak_cols
+        if c in df.columns
+    ]
+    w = W.partitionBy(id_col).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

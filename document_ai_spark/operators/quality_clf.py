@@ -34,15 +34,18 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the FEATURE_COLS — cheap, language-agnostic shape
     statistics (the classic quality-classifier feature set), all
     column expressions over one materialized words array."""
+    from ..queries_base import _norm_words
+
     # NULL text degrades to the empty document (the other quality paths'
     # posture); un-coalesced NULLs would propagate into the feature
     # columns and crash VectorAssembler (handleInvalid='error')
     t = F.coalesce(F.col(text_col), F.lit(""))
-    d = df.withColumn(
-        "_w", F.split(F.regexp_replace(F.trim(t), r"\s+", " "), " ")
-    )
+    d = df.withColumn("_w", _norm_words(t))
     n = F.size("_w").cast("double")
     nz = F.greatest(n, F.lit(1.0))
+    # NOTE: each quality signal keeps its OWN stopword alternation by
+    # design (LANG_PATTERNS, gopher's evidence list, this one) — the
+    # oracle-checked twins freeze the other two, so do not "unify" them
     n_stop = F.size(
         F.regexp_extract_all(
             F.lower(t), F.lit(r"\b(the|be|to|of|and|a|in|that)\b"), F.lit(1)

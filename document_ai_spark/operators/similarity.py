@@ -204,6 +204,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     loop runs. Both paths compute the identical min-label fixpoint and
     are cross-checked in tests (pass driver_threshold=0 to force the
     distributed path). Rounds reported for the driver path: 0."""
+    # NULL endpoints (e.g. pairs built through an outer join) carry no
+    # connectivity — drop them up front so BOTH paths are total on the
+    # same input (the driver union-find would otherwise TypeError on
+    # None comparisons)
+    edges = edges.filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()

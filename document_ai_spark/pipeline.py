@@ -97,7 +97,9 @@ def run_pipeline(
     # urls stay in the previous outputs (append semantics); pruning
     # them is the caller's retention policy.
     if baseline_pages:
-        from .operators.crawldiff import diff_counts, refresh_targets
+        from pyspark.sql import functions as F
+
+        from .operators.crawldiff import crawl_diff
 
         inc_dir = _sub(workdir, "incremental")
         if _committed(inc_dir):
@@ -105,14 +107,24 @@ def run_pipeline(
         else:
             old = spark.read.parquet(baseline_pages)
             cur = spark.read.parquet(pages_path)
-            refresh_targets(
+            # ONE diff pass (url + two hashes per row — tiny next to the
+            # html payloads it hashed), then both consumers read the
+            # materialized frame: re-deriving it for the counts would
+            # re-hash every raw page on both sides
+            d = crawl_diff(
                 old, cur, id_col="url", content_col="html"
-            ).write.mode("overwrite").parquet(inc_dir)
+            ).localCheckpoint(eager=True)
+            keys = d.filter(
+                F.col("status").isin("added", "changed")
+            ).select("url")
+            cur.join(keys, "url", "left_semi").write.mode(
+                "overwrite"
+            ).parquet(inc_dir)
             counts = {
                 r.status: r.n
-                for r in diff_counts(
-                    old, cur, id_col="url", content_col="html"
-                ).collect()
+                for r in d.groupBy("status")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
             }
             summary["stages"]["incremental"] = {
                 "skipped": False, **counts,

@@ -12,10 +12,11 @@ from pyspark.sql import functions as F
 SHINGLE_W = 3
 
 
-def _norm_words(col: str = "text") -> F.Column:
-    return F.split(
-        F.regexp_replace(F.trim(F.col(col)), r"\s+", " "), " "
-    )
+def _norm_words(col: str | F.Column = "text") -> F.Column:
+    """Frozen word split over a column name OR an expression (operators
+    that pre-process the text, e.g. a NULL-coalesce, pass the Column)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.regexp_replace(F.trim(c), r"\s+", " "), " ")
 
 
 def _shingles(words: F.Column) -> F.Column:

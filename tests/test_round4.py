@@ -80,6 +80,57 @@ def test_connected_components_log_rounds_on_chain(spark):
     assert (got.c, got.m, got.n) == (1, 0, 31)
 
 
+def test_connected_components_total_on_null_endpoints(spark):
+    """NULL edge endpoints (outer-join artifacts) are dropped, not
+    crashed on — on BOTH paths."""
+    from document_ai_spark.operators.similarity import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 5), (7, 8)],
+        "src long, dst long",
+    )
+    for thr in (10**6, 0):
+        cc = {
+            r.node: r.component
+            for r in connected_components(
+                edges, driver_threshold=thr
+            ).collect()
+        }
+        assert cc == {1: 1, 2: 1, 7: 7, 8: 7}
+
+
+def test_collapse_recrawls_deterministic_tiebreak(spark):
+    """Equal timestamps pick the winner by content, never by partition
+    order."""
+    import datetime as dt
+
+    from document_ai_spark.operators.curate import collapse_recrawls
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [("u/1", ts, "bbb"), ("u/1", ts, "aaa"), ("u/2", ts, "zzz")]
+    results = set()
+    for nparts in (1, 2, 3):
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, main_text string"
+        ).repartition(nparts)
+        got = tuple(sorted(
+            (r.url, r.main_text)
+            for r in collapse_recrawls(df).collect()
+        ))
+        results.add(got)
+    assert results == {(("u/1", "aaa"), ("u/2", "zzz"))}
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    from document_ai_spark.operators.chunking import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(1, 10)], "doc_id long, chunk_words int"
+    )
+    with pytest.raises(ValueError):
+        pack_sequences(chunks, pack_words=0)
+
+
 def test_connected_components_paths_agree(spark):
     """The adaptive driver union-find and the distributed min-label loop
     must compute the identical fixpoint on a messy random graph."""
