@@ -340,6 +340,33 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Crawl churn between two snapshots: per-status counts, optionally
+    writing the new-or-changed slice (the incremental re-process set)."""
+    from document_ai_spark.operators.crawldiff import (
+        crawl_diff,
+        refresh_targets,
+    )
+
+    spark = _spark(args)
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    d = crawl_diff(old, new, content_col=args.content_col)
+    counts = {
+        r.status: r.n for r in d.groupBy("status").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    out = {"counts": counts}
+    if args.targets:
+        refresh_targets(
+            old, new, content_col=args.content_col
+        ).write.mode("overwrite").parquet(args.targets)
+        out["targets_dir"] = args.targets
+        out["targets"] = counts.get("added", 0) + counts.get("changed", 0)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from pyspark.sql import functions as F
 
@@ -493,6 +520,20 @@ def main(argv: list[str] | None = None) -> int:
                     "pages whose html is new or changed (incremental "
                     "re-crawl mode)")
     pl.set_defaults(fn=cmd_pipeline)
+
+    df_ = sub.add_parser("diff", help="crawl churn between two snapshots "
+                         "(added/removed/changed/unchanged)")
+    df_.add_argument("--old", required=True, help="previous snapshot "
+                     "parquet")
+    df_.add_argument("--new", required=True, help="current snapshot "
+                     "parquet")
+    df_.add_argument("--content-col", default="html",
+                     help="column whose hash defines 'changed' (binary "
+                     "or string)")
+    df_.add_argument("--targets", default=None,
+                     help="optionally write the new-or-changed slice "
+                     "here (the incremental re-process set)")
+    df_.set_defaults(fn=cmd_diff)
 
     v = sub.add_parser("validate", help="QA predicates + golden accuracy")
     v.add_argument("--extracted", required=True)

@@ -54,6 +54,31 @@ def test_refresh_targets_passthrough_columns(spark):
     ]
 
 
+def test_diff_cli(spark, tmp_path, capsys):
+    import json
+
+    from document_ai_spark.__main__ import main
+
+    old = spark.createDataFrame(
+        [("u/1", b"aaa"), ("u/2", b"bbb")], "url string, html binary"
+    )
+    new = spark.createDataFrame(
+        [("u/2", b"BBB"), ("u/3", b"ccc")], "url string, html binary"
+    )
+    po, pn = str(tmp_path / "old"), str(tmp_path / "new")
+    old.write.parquet(po)
+    new.write.parquet(pn)
+    tgt = str(tmp_path / "targets")
+    rc = main(["diff", "--old", po, "--new", pn, "--targets", tgt])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["counts"] == {"removed": 1, "changed": 1, "added": 1}
+    assert res["targets"] == 2
+    assert {r.url for r in spark.read.parquet(tgt).collect()} == {
+        "u/2", "u/3"
+    }
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     st.lists(st.integers(min_value=1, max_value=40), min_size=1,
