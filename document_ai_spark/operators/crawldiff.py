@@ -2,12 +2,18 @@
 corpus — the bookkeeping an incremental pipeline runs before deciding
 what to re-extract, re-curate and re-shard.
 
-Pure relational: full outer join on url with content-hash comparison.
-One shuffle on the (uniform) url key; the text hash is computed on each
-side's single scan, so giant text columns never travel twice.
+Pure relational: each snapshot first COLLAPSES to one row per url —
+md5 over the sorted set of its per-row content hashes (re-crawled urls
+appear multiple times per snapshot; joining the raw rows would
+cross-pair k_old x k_new and report one url many times, the r4 ADVICE
+finding) — then a full outer join on the unique url key compares the
+two set-hashes. One groupBy + one join, both on the (uniform) url key;
+the text hash is computed on each side's single scan, so giant content
+columns never travel past the hash.
 
-Statuses: 'added' (new url), 'removed' (url gone), 'changed' (content
-hash differs), 'unchanged'. `refresh_targets` is the composition every
+Statuses (per url, exactly one row each): 'added' (new url), 'removed'
+(url gone), 'changed' (the SET of contents crawled for the url
+differs), 'unchanged'. `refresh_targets` is the composition every
 incremental run wants: the added+changed slice of the NEW snapshot —
 exactly the rows worth paying extraction/curation for again.
 """
@@ -31,21 +37,39 @@ def _content_hash(df: DataFrame, content_col: str) -> F.Column:
     )
 
 
+def _url_hash(df: DataFrame, id_col: str, content_col: str,
+              alias: str) -> DataFrame:
+    """One row per id: md5 over the SORTED SET of the id's per-row
+    content hashes. Duplicate ids (re-crawls within one snapshot)
+    collapse here, BEFORE the join — and two snapshots carrying the
+    same contents for a url in different crawl order still hash equal
+    (set semantics + sort)."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            _content_hash(df, content_col).alias("_h"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.md5(
+                F.encode(
+                    F.concat_ws(",", F.array_sort(F.collect_set("_h"))),
+                    "UTF-8",
+                )
+            ).alias(alias)
+        )
+    )
+
+
 def crawl_diff(
     old: DataFrame,
     new: DataFrame,
     id_col: str = "url",
     content_col: str = "main_text",
 ) -> DataFrame:
-    """-> (id, status, old_hash, new_hash)."""
-    oh = old.select(
-        F.col(id_col).alias("_id"),
-        _content_hash(old, content_col).alias("old_hash"),
-    )
-    nh = new.select(
-        F.col(id_col).alias("_id"),
-        _content_hash(new, content_col).alias("new_hash"),
-    )
+    """-> (id, status, old_hash, new_hash) — exactly one row per id."""
+    oh = _url_hash(old, id_col, content_col, "old_hash")
+    nh = _url_hash(new, id_col, content_col, "new_hash")
     status = (
         F.when(F.col("old_hash").isNull(), "added")
         .when(F.col("new_hash").isNull(), "removed")

@@ -18,7 +18,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_DENOM = 1_000_000
+# 5 md5 hex nibbles -> uniform [0, 16^5). md5, not xxhash64, so an
+# engine without xxhash64 (the DuckDB oracle twin) computes the
+# IDENTICAL threshold decision — the md5-nibble trick from the repo's
+# oracle-parity rules.
+_DENOM = 16**5
+
+
+def _id_hash(id_col: str, seed: int) -> F.Column:
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        ":", F.col(id_col).cast("string"), F.lit(str(seed))
+                    ),
+                    "UTF-8",
+                )
+            ),
+            1, 5,
+        ),
+        16, 10,
+    ).cast("long")
 
 
 def domain_mixture(
@@ -31,8 +52,9 @@ def domain_mixture(
 ) -> DataFrame:
     """Sample/upsample rows per domain to the given weights.
 
-    weight w < 1: keep a row iff hash(id, seed) mod 1e6 < w * 1e6
-    (deterministic w-fraction). weight w >= 1: every row gets floor(w)
+    weight w < 1: keep a row iff the md5-nibble hash of (id, seed) in
+    [0, 16^5) is < w * 16^5 (deterministic w-fraction, identical in any
+    engine with md5). weight w >= 1: every row gets floor(w)
     copies, plus one more for the hash-selected frac(w) fraction. Output
     adds `copy_no` (0-based; 0 for every surviving original). Domains
     absent from `weights` get `default_weight`.
@@ -44,16 +66,19 @@ def domain_mixture(
     threshold logic is identical."""
     if not all(w >= 0 for w in weights.values()):
         raise ValueError("mixture weights must be >= 0")
-    wmap = F.create_map(
-        *[F.lit(x) for kv in weights.items() for x in kv]
-    )
-    w = F.coalesce(
-        wmap[F.col(domain_col)], F.lit(float(default_weight))
-    )
-    h = F.pmod(
-        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
-        F.lit(_DENOM),
-    )
+    if weights:
+        wmap = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv]
+        )
+        w = F.coalesce(
+            wmap[F.col(domain_col)], F.lit(float(default_weight))
+        )
+    else:
+        # F.create_map() with no args is map<void,void> and the string
+        # lookup type-errors (r4 ADVICE) — an empty mixture means
+        # default_weight everywhere
+        w = F.lit(float(default_weight))
+    h = _id_hash(id_col, seed)
     frac_keep = h < (w - F.floor(w)) * _DENOM
     n_copies = (F.floor(w).cast("int")
                 + F.when(frac_keep, 1).otherwise(0))

@@ -81,7 +81,8 @@ def ivf_topk(embeddings: DataFrame, probes: DataFrame, k: int = 10,
     Self-matches are excluded by id equality, so corpus probes keep
     their vec_id as probe_id and EXTERNAL probe tables should use ids
     disjoint from the corpus (or accept one dropped candidate on a
-    collision).
+    collision). Zero-norm probe vectors (no cosine direction) are
+    dropped and contribute no result rows.
 
     Scale shape (r3 verdict item 1 — the per-probe driver round trip is
     gone): centroids are index METADATA (n_lists x dim, driver-side by
@@ -112,9 +113,15 @@ def ivf_topk(embeddings: DataFrame, probes: DataFrame, k: int = 10,
     pn = F.sqrt(
         F.aggregate(F.col("_pv"), F.lit(0.0), lambda a, v: a + v * v)
     )
+    # a zero-norm probe has no cosine direction: dividing by pn=0 would
+    # NaN every score and hand the probe arbitrary tie-broken lists (r4
+    # ADVICE) — such probes are dropped and return no result rows
+    p = p.withColumn("_pn", pn).filter(F.col("_pn") > 0)
     # centroids live on the unit sphere (KMeans ran on normalized
     # vectors), so rank lists by L2 to the NORMALIZED probe
-    p = p.withColumn("_pnorm", F.transform(F.col("_pv"), lambda x: x / pn))
+    p = p.withColumn(
+        "_pnorm", F.transform(F.col("_pv"), lambda x: x / F.col("_pn"))
+    ).drop("_pn")
     scored = p.crossJoin(F.broadcast(cent)).withColumn(
         "_d2",
         F.aggregate(

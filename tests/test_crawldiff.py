@@ -40,6 +40,43 @@ def test_crawl_diff_statuses(spark):
     }
 
 
+def test_crawl_diff_collapses_recrawled_urls(spark):
+    """Re-crawled urls (duplicate rows per snapshot) must collapse to
+    ONE diff row per url (r4 ADVICE: the raw full-outer join
+    cross-paired k_old x k_new rows). Two identical snapshots each
+    carrying a url twice report it 'unchanged' exactly once; a url
+    whose SET of crawled contents changed reports 'changed' once."""
+    old = spark.createDataFrame(
+        [("u/1", "a"), ("u/1", "b"), ("u/2", "x"), ("u/2", "y")],
+        "url string, main_text string",
+    )
+    same = spark.createDataFrame(
+        # same content sets, different crawl order
+        [("u/1", "b"), ("u/1", "a"), ("u/2", "y"), ("u/2", "x")],
+        "url string, main_text string",
+    )
+    rows = crawl_diff(old, same).collect()
+    assert len(rows) == 2
+    assert {r.url: r.status for r in rows} == {
+        "u/1": "unchanged", "u/2": "unchanged"
+    }
+    new = spark.createDataFrame(
+        [("u/1", "a"), ("u/1", "CHANGED"), ("u/2", "x"), ("u/2", "y")],
+        "url string, main_text string",
+    )
+    rows = crawl_diff(old, new).collect()
+    assert {r.url: r.status for r in rows} == {
+        "u/1": "changed", "u/2": "unchanged"
+    }
+    counts = {r.status: r.n for r in diff_counts(old, new).collect()}
+    assert counts == {"changed": 1, "unchanged": 1}
+    # refresh_targets re-extracts EVERY row of a changed url
+    assert {(r.url, r.main_text)
+            for r in refresh_targets(old, new).collect()} == {
+        ("u/1", "a"), ("u/1", "CHANGED")
+    }
+
+
 def test_refresh_targets_passthrough_columns(spark):
     old = spark.createDataFrame(
         [("u/1", "x", 1)], "url string, main_text string, extra int"

@@ -61,6 +61,15 @@ def test_domain_mixture_deterministic_and_default(mix_df):
         domain_mixture(mix_df, {"web": -1.0})
 
 
+def test_domain_mixture_empty_weights(mix_df):
+    """weights={} means default_weight everywhere (r4 ADVICE: the empty
+    create_map() used to raise AnalysisException)."""
+    assert domain_mixture(mix_df, {}).count() == 3000  # default 1.0
+    out = domain_mixture(mix_df, {}, default_weight=2.0)
+    assert out.count() == 6000
+    assert out.filter(F.col("copy_no") == 1).count() == 3000
+
+
 def test_lm_quality_scores_self_vocab(spark):
     fluent = "the quick brown fox jumps over the lazy dog " * 6
     rows = [(i, fluent) for i in range(8)] + [

@@ -68,6 +68,24 @@ def test_ivf_topk_external_probe_table(spark):
         assert rows[0].cosine == 1.0
 
 
+def test_ivf_topk_zero_norm_probe_dropped(spark):
+    """A zero vector has no cosine direction: it must contribute NO
+    result rows (r5 ADVICE — it previously got NaN scores and arbitrary
+    tie-broken lists), and other probes in the same table are
+    unaffected."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.first().embedding)
+    good = emb.orderBy("vec_id").first()
+    probes = spark.createDataFrame(
+        [(2_000_000, [0.0] * dim), (2_000_001, list(good.embedding))],
+        "probe_id long, embedding array<float>",
+    )
+    got = ivf_topk(emb, probes, k=3).collect()
+    assert {r.probe_id for r in got} == {2_000_001}
+    assert len(got) == 3
+    assert all(r.cosine == r.cosine for r in got)  # no NaN
+
+
 def test_connected_components_known_graph(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
