@@ -257,7 +257,10 @@ def cmd_curate(args) -> int:
     """Training-data curation over an extracted table: exact-dedup keeper
     AND quality gate AND Gopher rule pack over main_text -> kept docs
     written out, per-stage funnel counts printed."""
+    from pyspark.sql import functions as F
+
     from document_ai_spark.operators.curate import (
+        clf_flags,
         collapse_recrawls,
         curation_flags,
         funnel_counts,
@@ -286,6 +289,18 @@ def cmd_curate(args) -> int:
             lm_flags(extracted, id_col="url", text_col="main_text"),
             "url",
         )
+    if "clf" in rules:
+        # learned-classifier stage (r5), bootstrapped from the heuristic
+        # flags ALREADY computed — no second curation_flags pass
+        labels = flags.select(
+            "url",
+            (F.col("pass_quality") & F.col("pass_gopher")).alias("label"),
+        )
+        flags = flags.join(
+            clf_flags(extracted, id_col="url", text_col="main_text",
+                      labels=labels),
+            "url",
+        )
     kept = kept_filter(flags, rules).select("url", "n_tokens")
     kept_docs = extracted.join(kept.select("url"), "url", "left_semi")
     kept_docs.write.mode("overwrite").parquet(args.output)
@@ -305,6 +320,8 @@ def cmd_curate(args) -> int:
         out["after_neardup"] = row.after_neardup
     if "lm" in rules:
         out["after_lang"] = row.after_lang
+    if "clf" in rules:
+        out["after_lm"] = row.after_lm
     print(json.dumps(out))
     return 0
 
@@ -477,10 +494,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument(
         "--rules", default="dedup,quality,gopher",
         help="comma list of keep rules (dedup,neardup,quality,gopher,"
-        "lm); neardup adds the MinHash/LSH cluster-keeper stage, lm the "
-        "CCNet-style surprisal-tail drop; the synthetic corpus "
-        "vocabulary is stopword-free by construction, so gopher's "
-        "stopword-evidence rule rejects it — drop it there",
+        "lm,clf); neardup adds the MinHash/LSH cluster-keeper stage, lm "
+        "the CCNet-style surprisal-tail drop, clf the learned "
+        "classifier bootstrapped from the heuristic flags; the "
+        "synthetic corpus vocabulary is stopword-free by construction, "
+        "so gopher's stopword-evidence rule rejects it — drop it there",
     )
     c.set_defaults(fn=cmd_curate)
 
@@ -503,7 +521,7 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--user-agent", default="*")
     pl.add_argument("--rules", default="dedup,quality,gopher",
                     help="curation rules (dedup,neardup,quality,gopher,"
-                    "lm)")
+                    "lm,clf)")
     pl.add_argument("--chunk-words", type=int, default=512)
     pl.add_argument("--chunk-overlap", type=int, default=64)
     pl.add_argument("--n-shards", type=int, default=16)

@@ -177,7 +177,51 @@ def lm_flags(
     )
 
 
-ALL_RULES = ("dedup", "neardup", "quality", "gopher", "lang", "lm")
+def clf_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    labels: DataFrame | None = None,
+    keep_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Learned-classifier stage (r5): (id, pass_clf) from the
+    reference-vs-crawl LR in operators/quality_clf. Training labels:
+    `labels` (id, label BOOLEAN) when the caller has a reference
+    corpus; otherwise BOOTSTRAPPED from the frozen heuristic rule
+    packs (label = pass_quality AND pass_gopher) — the
+    GPT-3/fastText-style trick of training the learned filter against
+    a trusted signal, which then generalizes past the hard
+    thresholds. The fit runs on a bounded deterministic sample
+    (quality_clf.N_FIT_SAMPLE, fixed seed); scoring is one codegen'd
+    scan. Degenerate label sets (everything one class) skip the fit
+    and pass every row — no signal is no filter."""
+    from .quality_clf import score_quality, train_quality_classifier
+
+    if labels is None:
+        cf = curation_flags(df, id_col, text_col, lang_col=None)
+        labels = cf.select(
+            F.col(id_col),
+            (F.col("pass_quality") & F.col("pass_gopher")).alias("label"),
+        )
+    lab = df.select(F.col(id_col), F.col(text_col)).join(labels, id_col)
+    pos = lab.filter(F.col("label")).select(text_col)
+    neg = lab.filter(~F.col("label")).select(text_col)
+    # bounded emptiness probes (limit(1) short-circuits the scan)
+    if pos.limit(1).count() == 0 or neg.limit(1).count() == 0:
+        return df.select(
+            F.col(id_col), F.lit(True).alias("pass_clf")
+        )
+    model = train_quality_classifier(pos, neg, text_col=text_col,
+                                     seed=seed)
+    scored = score_quality(
+        model, df.select(F.col(id_col), F.col(text_col)),
+        text_col=text_col, keep_threshold=keep_threshold,
+    )
+    return scored.select(F.col(id_col), "pass_clf")
+
+
+ALL_RULES = ("dedup", "neardup", "quality", "gopher", "lang", "lm", "clf")
 
 
 def kept_filter(
@@ -197,10 +241,12 @@ def funnel_counts(flags: DataFrame) -> DataFrame:
     """One aggregation row: survivors at each stage + kept token total.
     Stage order: exact dedup -> near-dup cluster keeper (when the
     pass_neardup column is present) -> quality -> gopher -> language ->
-    LM bucket (when pass_lm is present)."""
+    LM bucket -> learned classifier (each optional stage appears only
+    when its flag column is present)."""
     has_nd = "pass_neardup" in flags.columns
     has_lang = "pass_lang" in flags.columns
     has_lm = "pass_lm" in flags.columns
+    has_clf = "pass_clf" in flags.columns
     after_dedup = F.col("pass_dedup")
     after_nd = (
         after_dedup & F.col("pass_neardup") if has_nd else after_dedup
@@ -210,7 +256,8 @@ def funnel_counts(flags: DataFrame) -> DataFrame:
     after_lang = (
         after_gopher & F.col("pass_lang") if has_lang else after_gopher
     )
-    kept = after_lang & F.col("pass_lm") if has_lm else after_lang
+    after_lm = after_lang & F.col("pass_lm") if has_lm else after_lang
+    kept = after_lm & F.col("pass_clf") if has_clf else after_lm
     aggs = [
         F.count(F.lit(1)).alias("total_docs"),
         F.sum(after_dedup.cast("long")).alias("after_dedup"),
@@ -223,6 +270,8 @@ def funnel_counts(flags: DataFrame) -> DataFrame:
     ]
     if has_lm:
         aggs.append(F.sum(after_lang.cast("long")).alias("after_lang"))
+    if has_clf:
+        aggs.append(F.sum(after_lm.cast("long")).alias("after_lm"))
     aggs += [
         F.sum(kept.cast("long")).alias("kept"),
         F.sum(F.when(kept, F.col("n_tokens"))).alias("kept_tokens"),

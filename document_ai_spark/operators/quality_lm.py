@@ -46,6 +46,7 @@ def lm_quality_scores(
     head_frac: float = 0.3,
     tail_frac: float = 0.3,
     max_vocab: int | None = 2_000_000,
+    bucket_mode: str = "approx",
 ) -> DataFrame:
     """-> (id, n_words, bits_per_word, lm_bucket) where bits_per_word is
     the mean -log2 p(word) with add-one smoothing (OOV words under a
@@ -54,22 +55,50 @@ def lm_quality_scores(
     percentile (head = most fluent, CCNet's convention). Documents with
     no words score NULL bits and bucket 'tail'.
 
-    `max_vocab` caps the broadcast model at the top-N words by count —
-    open-vocabulary web text has an unbounded long tail, and words
-    outside the cap simply score as OOV (the smoothed floor), which is
-    exactly what a bounded reference LM does. Pass None only when the
-    vocabulary is known to be broadcast-sized."""
+    `max_vocab` caps the broadcast model: when the vocabulary exceeds
+    it, words are cut at an approximate count-quantile THRESHOLD — a
+    filter over the distributed vocab, never a global
+    orderBy().limit() (which Spark realizes as per-partition top-N
+    merged through the driver; r4 verdict item 6). The filter is
+    STRICT (count > threshold), so the whole tie-mass at the threshold
+    count is dropped together: the result is at most ~max_vocab words
+    (never the old arbitrary lexicographic pick among equal-count
+    words) and can be substantially smaller when the long tail is flat
+    — on Zipf-shaped web text the threshold lands in the hapax mass
+    and the cut keeps exactly the words that actually repeat. Cut
+    words score as OOV (the smoothed floor), exactly what a bounded
+    reference LM does. Pass None only when the vocabulary is known to
+    be broadcast-sized.
+
+    `bucket_mode` picks the percentile machinery:
+      - 'approx' (default): percentile_approx cuts — one aggregate, no
+        global sort; the 100 TB path.
+      - 'exact_rank': head = lowest ceil(head_frac*n) scored docs by
+        (bits_per_word, id) row_number, tail = highest
+        ceil(tail_frac*n). Engine-exact (the DuckDB oracle twin
+        reproduces it bit-for-bit) but a single-partition global
+        window — validation/oracle scale only."""
+    if bucket_mode not in ("approx", "exact_rank"):
+        raise ValueError(f"unknown bucket_mode {bucket_mode!r}")
     if vocab is None:
         vocab = unigram_vocab(df, text_col)
-    if max_vocab is not None:
-        vocab = vocab.orderBy(
-            F.col("count").desc(), F.col("word")
-        ).limit(max_vocab)
-    # materialize the (broadcast-sized) model once: `vocab` feeds both
-    # the totals aggregate and the scoring join, and the self-derived
-    # build (explode + groupBy + sort-limit) would otherwise run twice
-    # per action — same three-use shape _q_shared_passages checkpoints
+    # materialize the model once: `vocab` feeds the size probe, the
+    # totals aggregate and the scoring join, and the self-derived
+    # build (explode + groupBy) would otherwise run once per use —
+    # same three-use shape _q_shared_passages checkpoints
     vocab = vocab.localCheckpoint(eager=True)
+    if max_vocab is not None:
+        n_vocab = vocab.count()  # cheap: counts the checkpointed model
+        if n_vocab > max_vocab:
+            cut = (
+                vocab.agg(
+                    F.expr(
+                        "percentile_approx(count, "
+                        f"{1.0 - max_vocab / n_vocab}, 10000)"
+                    ).alias("_t")
+                ).first()["_t"]
+            )
+            vocab = vocab.filter(F.col("count") > cut)
     totals = vocab.agg(
         F.sum("count").alias("_n"), F.count(F.lit(1)).alias("_v")
     )
@@ -102,6 +131,41 @@ def lm_quality_scores(
     # scores are consumed twice (percentile cuts + final join): cut the
     # plan so the whole explode->join->aggregate doesn't run twice
     scores = scores.localCheckpoint(eager=True)
+    if bucket_mode == "exact_rank":
+        from pyspark.sql.window import Window as W
+
+        # exact rank cuts: head/tail by global row_number over
+        # (bits_per_word, id) — both engines order identically after
+        # the 6dp round, and ceil() of the same IEEE product agrees
+        wr = W.orderBy(F.col("bits_per_word").asc(), F.col("_id").asc())
+        ranked = scores.withColumn(
+            "_rk", F.row_number().over(wr)
+        ).withColumn(
+            "_nn", F.count(F.lit(1)).over(W.partitionBy(F.lit(1)))
+        )
+        bucket = (
+            F.when(F.col("bits_per_word").isNull(), "tail")
+            .when(
+                F.col("_rk") <= F.ceil(F.lit(head_frac) * F.col("_nn")),
+                "head",
+            )
+            .when(
+                F.col("_rk")
+                > F.col("_nn") - F.ceil(F.lit(tail_frac) * F.col("_nn")),
+                "tail",
+            )
+            .otherwise("middle")
+        )
+        return (
+            df.select(F.col(id_col).alias("_id"))
+            .join(ranked, "_id", "left")
+            .select(
+                F.col("_id").alias(id_col),
+                F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                "bits_per_word",
+                bucket.alias("lm_bucket"),
+            )
+        )
     # global percentile thresholds (two scalars, computed once)
     cuts = scores.agg(
         F.expr(

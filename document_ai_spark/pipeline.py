@@ -216,6 +216,23 @@ def run_pipeline(
                 lm_flags(extracted, id_col="url", text_col="main_text"),
                 "url",
             )
+        if "clf" in rules:
+            from pyspark.sql import functions as F
+
+            from .operators.curate import clf_flags
+
+            # learned-classifier stage bootstrapped from the heuristic
+            # flags already computed above — no second flags pass
+            labels = flags.select(
+                "url",
+                (F.col("pass_quality")
+                 & F.col("pass_gopher")).alias("label"),
+            )
+            flags = flags.join(
+                clf_flags(extracted, id_col="url",
+                          text_col="main_text", labels=labels),
+                "url",
+            )
         kept = kept_filter(flags, rules).select("url")
         extracted.join(kept, "url", "left_semi").write.mode(
             "overwrite"

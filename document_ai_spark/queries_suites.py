@@ -129,8 +129,115 @@ def _q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Corpus-ops branches (r5): driver rows for the four r4 operators that
+# were pytest-only (quality_lm, domain_mixture, crawl_diff, quality_clf).
+# Each branch runs the REAL operator over the documents table; only the
+# output is normalized to the suite schema.
+# --------------------------------------------------------------------------
+
+# mixture: exercise upsample-with-frac (2.3), downsample (0.5), integer
+# keep (1.0), and the default path (docs in other langs get 0.8)
+MIX_WEIGHTS = {"en": 2.3, "de": 0.5, "fr": 1.0}
+MIX_DEFAULT = 0.8
+MIX_SEED = 7
+CLF_SEP_MARGIN = 0.5
+
+
+def _q_quality_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scores + buckets (operators/quality_lm) in
+    bucket_mode='exact_rank' — the engine-exact percentile form whose
+    head/tail cuts the DuckDB twin reproduces bit-for-bit (the default
+    'approx' mode stays the 100 TB path; the scoring math is identical
+    between the modes and THAT is what v_num hash-checks per doc)."""
+    from .operators.quality_lm import lm_quality_scores
+
+    return lm_quality_scores(
+        _t(spark, sf_dir, "documents"), bucket_mode="exact_rank"
+    )
+
+
+def _q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix sampling (operators/mixing) keyed on
+    lang as the domain: every keep/copy decision is a pure md5-nibble
+    function of (doc_id, seed), so the oracle recomputes each one."""
+    from .operators.mixing import domain_mixture
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return domain_mixture(
+        d, MIX_WEIGHTS, domain_col="lang", id_col="doc_id",
+        default_weight=MIX_DEFAULT, seed=MIX_SEED,
+    )
+
+
+def _crawl_snapshots(spark: SparkSession, sf_dir: str):
+    """(old, new) snapshot pair built in-query from the documents table:
+    new drops doc_id % 7 == 0 (-> removed), rewrites % 5 == 0 (->
+    changed), RE-CRAWLS % 11 == 0 with a second differing row (the
+    duplicate-url case the r4 ADVICE found — must still be ONE diff
+    row), and adds shifted ids (-> added)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 7 != 0)
+    cur = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" v2")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    recrawl = base.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" recrawl")).alias("text"),
+    )
+    added = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return d, cur.unionByName(recrawl).unionByName(added)
+
+
+def _q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.crawldiff import crawl_diff
+
+    old, new = _crawl_snapshots(spark, sf_dir)
+    return crawl_diff(old, new, id_col="doc_id", content_col="text")
+
+
+def _q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier (operators/quality_clf): train
+    reference-vs-crawl on documents vs an in-query corruption (spaces
+    fused to '#@' — one giant symbol-ridden token per doc), score both
+    sides, and emit (n_scored, separated). n_scored is exact; the
+    separation margin is the bounded-error BOOLEAN the sketch entries
+    use (a literal-TRUE oracle twin): an LR that cannot put >= 0.5 mean
+    probability between clean prose and that corruption is broken."""
+    from .operators.quality_clf import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    neg = d.select(
+        "doc_id", F.regexp_replace("text", " ", "#@").alias("text")
+    )
+    model = train_quality_classifier(d, neg, seed=42)
+    pos_s = score_quality(model, d).select(
+        F.lit(1).alias("lbl"), "clf_quality"
+    )
+    neg_s = score_quality(model, neg).select(
+        F.lit(0).alias("lbl"), "clf_quality"
+    )
+    return pos_s.unionByName(neg_s).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        (
+            F.avg(F.when(F.col("lbl") == 1, F.col("clf_quality")))
+            - F.avg(F.when(F.col("lbl") == 0, F.col("clf_quality")))
+            >= CLF_SEP_MARGIN
+        ).alias("separated"),
+    )
+
+
 def q_relational_demo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Union of 10 demos normalized to (section, k, v_num, v_str). Each
+    """Union of 14 demos normalized to (section, k, v_num, v_str). Each
     branch is the unchanged original query/operator (operator identity
     preserved — e.g. the pivot branch still runs a real pivot, the
     chunking branch runs the real chunk_documents operator), only the
@@ -138,7 +245,11 @@ def q_relational_demo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-ops branches (shared_passages, chunking) so the
     previously pytest-only operators get driver rows without breaching
     the 50-entry registry cap; the chunking branch hash-checks every
-    chunk's TEXT via md5 in v_str."""
+    chunk's TEXT via md5 in v_str. r5 adds four more the same way:
+    quality_lm (per-doc surprisal + exact-rank bucket), domain_mixture
+    (every keep/copy decision), crawl_diff (per-url status + both
+    set-hashes), quality_clf (exact count + bounded-error separation
+    boolean)."""
 
     def tag(name: str) -> F.Column:
         return F.lit(name).alias("section")
@@ -205,8 +316,36 @@ def q_relational_demo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_words").cast("double").alias("v_num"),
         F.md5(F.encode("chunk_text", "UTF-8")).alias("v_str"),
     )
+    ql = _q_quality_lm(spark, sf_dir).select(
+        tag("quality_lm"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("bits_per_word").alias("v_num"),
+        F.concat_ws(":", "lm_bucket", "n_words").alias("v_str"),
+    )
+    dm = _q_domain_mixture(spark, sf_dir).select(
+        tag("domain_mixture"),
+        F.concat_ws(":", "doc_id", "copy_no").alias("k"),
+        F.col("doc_id").cast("double").alias("v_num"),
+        F.col("lang").alias("v_str"),
+    )
+    cd = _q_crawl_diff(spark, sf_dir).select(
+        tag("crawl_diff"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.lit(1.0).alias("v_num"),
+        F.concat_ws(
+            ":", "status",
+            F.coalesce("old_hash", F.lit("-")),
+            F.coalesce("new_hash", F.lit("-")),
+        ).alias("v_str"),
+    )
+    qc = _q_quality_clf(spark, sf_dir).select(
+        tag("quality_clf"),
+        F.lit("separation").alias("k"),
+        F.col("n_scored").cast("double").alias("v_num"),
+        F.col("separated").cast("string").alias("v_str"),
+    )
     out = cs
-    for branch in (pv, ds, sq, so, sa, np_, do, sp, ck):
+    for branch in (pv, ds, sq, so, sa, np_, do, sp, ck, ql, dm, cd, qc):
         out = out.unionByName(branch)
     return out
 
@@ -261,6 +400,105 @@ FROM ch
 """
 
 
+# DuckDB twin of the exact-rank unigram-LM scoring: the identical
+# add-one-smoothed micro-bit integer sums (exact BIGINT arithmetic in
+# both engines), 6dp rounding BEFORE ranking, and the same ceil() rank
+# cuts (both engines do the IEEE double product, so ties and boundaries
+# agree). max_vocab is untriggered at oracle scale (the fixture vocab is
+# far below the 2M default), matching the Spark side.
+_SQL_QUALITY_LM = f"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+t2 AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+vocab AS (SELECT word, COUNT(*) AS cnt FROM t2 GROUP BY word),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM vocab),
+q AS (SELECT t2.doc_id,
+         CAST(round(log2(CAST(n + v AS DOUBLE) / (cnt + 1)) * 1000000)
+              AS BIGINT) AS qb
+      FROM t2 JOIN vocab USING (word), tot),
+s AS (SELECT doc_id, COUNT(*) AS n_words,
+         round(CAST(SUM(qb) AS DOUBLE) / (COUNT(*) * 1000000), 6)
+             AS bits_per_word
+      FROM q GROUP BY doc_id),
+r AS (SELECT *, row_number() OVER (ORDER BY bits_per_word, doc_id) AS rk,
+         COUNT(*) OVER () AS nn
+      FROM s)
+SELECT d.doc_id, r.bits_per_word,
+       CASE WHEN r.bits_per_word IS NULL THEN 'tail'
+            WHEN r.rk <= ceil(0.3 * r.nn) THEN 'head'
+            WHEN r.rk > r.nn - ceil(0.3 * r.nn) THEN 'tail'
+            ELSE 'middle' END AS lm_bucket,
+       CAST(COALESCE(r.n_words, 0) AS BIGINT) AS n_words
+FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+"""
+
+
+def _sql_md5_nibble5(expr: str) -> str:
+    """First 5 md5 hex nibbles of `expr` as an integer in [0, 16^5) —
+    the DuckDB side of operators/mixing._id_hash."""
+    return "(" + " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1)"
+        f" * {16 ** (4 - j)}"
+        for j in range(5)
+    ) + ")"
+
+
+# weights CAST to DOUBLE so (w - floor(w)) * 16^5 is the same IEEE
+# product Spark computes (a bare 2.3 literal would be DuckDB DECIMAL
+# and could land on the other side of an integer threshold)
+_MIX_CASE = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{k}' THEN CAST({v!r} AS DOUBLE)"
+        for k, v in MIX_WEIGHTS.items()
+    )
+    + f" ELSE CAST({MIX_DEFAULT!r} AS DOUBLE) END"
+)
+
+_SQL_DOMAIN_MIXTURE = f"""
+WITH m AS (
+  SELECT doc_id, lang, {_MIX_CASE} AS w,
+         {_sql_md5_nibble5(f"CAST(doc_id AS VARCHAR) || ':{MIX_SEED}'")} AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         CAST(floor(w) AS INT)
+         + CASE WHEN h < (w - floor(w)) * {16 ** 5} THEN 1 ELSE 0 END
+             AS n_copies
+  FROM m)
+SELECT doc_id, lang, unnest(range(0, n_copies)) AS copy_no
+FROM c WHERE n_copies > 0
+"""
+
+_SQL_CRAWL_DIFF = """
+WITH oldt AS (SELECT doc_id, text FROM documents),
+newt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id, text || ' recrawl' FROM documents
+  WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
+oh AS (SELECT doc_id, md5(string_agg(h, ',' ORDER BY h)) AS old_hash
+       FROM (SELECT DISTINCT doc_id, md5(coalesce(text, '')) AS h
+             FROM oldt)
+       GROUP BY doc_id),
+nh AS (SELECT doc_id, md5(string_agg(h, ',' ORDER BY h)) AS new_hash
+       FROM (SELECT DISTINCT doc_id, md5(coalesce(text, '')) AS h
+             FROM newt)
+       GROUP BY doc_id)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_hash IS NULL THEN 'added'
+            WHEN n.new_hash IS NULL THEN 'removed'
+            WHEN o.old_hash <> n.new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.old_hash, n.new_hash
+FROM oh o FULL OUTER JOIN nh n ON o.doc_id = n.doc_id
+"""
+
+
 SQL_RELATIONAL_DEMO_SUITE = f"""
 SELECT 'collect_statuses' AS section, o_orderpriority AS k,
        CAST(n AS DOUBLE) AS v_num, statuses AS v_str
@@ -299,6 +537,22 @@ UNION ALL
 SELECT 'chunking', doc_id || ':' || chunk_no || ':' || n_chunks,
        CAST(chunk_words AS DOUBLE), md5(chunk_text)
 FROM ({_SQL_CHUNKING})
+UNION ALL
+SELECT 'quality_lm', CAST(doc_id AS VARCHAR), bits_per_word,
+       lm_bucket || ':' || CAST(n_words AS VARCHAR)
+FROM ({_SQL_QUALITY_LM})
+UNION ALL
+SELECT 'domain_mixture', doc_id || ':' || copy_no,
+       CAST(doc_id AS DOUBLE), lang
+FROM ({_SQL_DOMAIN_MIXTURE})
+UNION ALL
+SELECT 'crawl_diff', CAST(doc_id AS VARCHAR), 1.0,
+       status || ':' || COALESCE(old_hash, '-') || ':'
+              || COALESCE(new_hash, '-')
+FROM ({_SQL_CRAWL_DIFF})
+UNION ALL
+SELECT 'quality_clf', 'separation', CAST(2 * COUNT(*) AS DOUBLE), 'true'
+FROM documents
 """
 
 

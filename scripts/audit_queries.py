@@ -42,7 +42,7 @@ SCAN_ALLOWLIST = {
     "embedding_near_dup_pairs": 4,  # tagged union of the baseline (2
                                 # scans) and LSH (2 scans) variants — each
                                 # branch is already scan-minimal
-    "relational_demo_suite": 15,  # driver-window consolidation: 8 demo
+    "relational_demo_suite": 23,  # driver-window consolidation: 8 demo
                                 # branches over SMALL dims (orders/
                                 # customer/part/supplier); each branch IS
                                 # its operator (set ops alone are 3 scans)
@@ -52,7 +52,19 @@ SCAN_ALLOWLIST = {
                                 # documents scan); the shared-passages
                                 # branch materializes its fingerprints
                                 # once (localCheckpoint) so its three
-                                # uses add no parquet scans
+                                # uses add no parquet scans.
+                                # r5: +8 for the four corpus-ops
+                                # branches — quality_lm 3 (vocab build
+                                # is its own pass BY DESIGN, then score
+                                # + id join; vocab/scores themselves
+                                # are localCheckpointed), crawl_diff 4
+                                # (old + the three constructed new-
+                                # snapshot slices; at corpus scale old/
+                                # new are two DIFFERENT tables scanned
+                                # once each), domain_mixture 1,
+                                # quality_clf 2 (pos + neg scoring; the
+                                # bounded fit sample runs eagerly
+                                # outside the returned plan)
     "sessionize": 2,            # two sessionization forms over events
     "doc_signatures": 3,        # fingerprint (shingle explode) + entropy
                                 # (char explode) branches joined per doc —

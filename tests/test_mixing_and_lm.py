@@ -100,6 +100,70 @@ def test_lm_quality_scores_self_vocab(spark):
     assert abs(got[0].bits_per_word - round(expect, 6)) < 1e-6
 
 
+def test_lm_exact_rank_buckets(spark):
+    """bucket_mode='exact_rank': the head is exactly the lowest
+    ceil(0.3*n) scored docs by (bits_per_word, id), the tail the
+    highest ceil(0.3*n) plus wordless docs — and scores are identical
+    to the approx mode (only the bucket machinery differs)."""
+    rows = [
+        (i, "common words repeated " + ("common words " * (1 + i % 5)))
+        for i in range(20)
+    ] + [(99, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {
+        r.doc_id: r
+        for r in lm_quality_scores(df, bucket_mode="exact_rank").collect()
+    }
+    approx = {
+        r.doc_id: r for r in lm_quality_scores(df).collect()
+    }
+    assert len(exact) == 21
+    assert exact[99].lm_bucket == "tail"
+    for i in exact:
+        assert exact[i].bits_per_word == approx[i].bits_per_word
+    scored = sorted(
+        ((exact[i].bits_per_word, i) for i in exact if i != 99),
+    )
+    n = len(scored)
+    head_n = math.ceil(0.3 * n)
+    tail_n = math.ceil(0.3 * n)
+    for rank, (_, i) in enumerate(scored, start=1):
+        want = (
+            "head" if rank <= head_n
+            else ("tail" if rank > n - tail_n else "middle")
+        )
+        assert exact[i].lm_bucket == want, (i, rank)
+
+
+def test_lm_vocab_cut_is_threshold_not_sort(spark):
+    """A triggered max_vocab cap keeps the high-count words via a
+    count-threshold filter (never a global TakeOrdered); an untriggered
+    cap changes nothing vs max_vocab=None."""
+    rows = [(i, "alpha beta gamma " * 3 + f"rare{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {
+        r.doc_id: (r.bits_per_word, r.lm_bucket)
+        for r in lm_quality_scores(df, max_vocab=None).collect()
+    }
+    untriggered = {
+        r.doc_id: (r.bits_per_word, r.lm_bucket)
+        for r in lm_quality_scores(df, max_vocab=1000).collect()
+    }
+    assert uncapped == untriggered
+    # cap of 3 on 43 words (3 with count 120, 40 hapaxes): the quantile
+    # threshold lands in the hapax mass (count 1) and the STRICT filter
+    # drops the whole tie-mass, keeping exactly the 3 repeating words;
+    # every rare word scores as OOV under the smaller (N=360, V=3)
+    # model -> all docs share the one recomputed score
+    capped = lm_quality_scores(df, max_vocab=3).collect()
+    assert len({r.bits_per_word for r in capped}) == 1
+    want = round(
+        (9 * round(math.log2(363 / 121) * 1e6)
+         + round(math.log2(363 / 1) * 1e6)) / (10 * 1e6), 6
+    )
+    assert capped[0].bits_per_word == want
+
+
 def test_curate_cli_lm_rule(spark, corpus_dir, tmp_path, capsys):
     """The 'lm' curation rule drops the tail perplexity bucket; funnel
     stays monotonic and the written table matches kept."""

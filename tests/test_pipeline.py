@@ -39,6 +39,41 @@ def _shards_content(spark, out_dir) -> set[tuple]:
     }
 
 
+def test_pipeline_clf_rule(spark, pages_dir, tmp_path):
+    """--rules dedup,quality,clf (r5): the learned-classifier stage
+    composes inside the pipeline verb — bootstrap labels come from the
+    heuristic flags already computed, the run completes, and the kept
+    set is a subset of what dedup+quality alone keep."""
+    wd = str(tmp_path / "wd_clf")
+    out = str(tmp_path / "shards_clf")
+    summary = run_pipeline(
+        spark, pages_dir, wd, out, rules=("dedup", "quality", "clf"),
+        chunk_words=64, chunk_overlap=8, n_shards=4,
+        shards_per_commit=2,
+    )
+    assert not summary["stages"]["curate"]["skipped"]
+    assert summary["stages"]["curate"]["rules"] == [
+        "dedup", "quality", "clf"
+    ]
+    kept_clf = summary["stages"]["curate"]["docs_kept"]
+    assert 0 < kept_clf <= 60
+    wd2 = str(tmp_path / "wd_dq")
+    base = run_pipeline(
+        spark, pages_dir, wd2, str(tmp_path / "shards_dq"), rules=RULES,
+        chunk_words=64, chunk_overlap=8, n_shards=4, shards_per_commit=2,
+    )
+    clf_urls = {
+        r.url for r in spark.read.parquet(
+            os.path.join(wd, "curated")).select("url").collect()
+    }
+    dq_urls = {
+        r.url for r in spark.read.parquet(
+            os.path.join(wd2, "curated")).select("url").collect()
+    }
+    assert clf_urls <= dq_urls
+    assert kept_clf <= base["stages"]["curate"]["docs_kept"]
+
+
 def test_pipeline_end_to_end(spark, pages_dir, tmp_path):
     wd = str(tmp_path / "wd")
     out = str(tmp_path / "shards")

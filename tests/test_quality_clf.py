@@ -91,6 +91,45 @@ def test_classifier_total_on_null_text(spark, corpora):
     assert 0.0 <= row.clf_quality <= 1.0
 
 
+def test_clf_flags_bootstrap_and_funnel_rule(spark, corpora):
+    """The 'clf' curation rule (r5): with no reference labels,
+    clf_flags bootstraps positives/negatives from the heuristic rule
+    packs, and the learned filter agrees with the planted split; the
+    funnel gains an after_lm rung when pass_clf is present."""
+    from document_ai_spark.operators.curate import (
+        clf_flags,
+        curation_flags,
+        funnel_counts,
+    )
+
+    pos, neg = corpora
+    mixed = pos.unionByName(
+        neg.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    flags = curation_flags(mixed, lang_col=None).join(
+        clf_flags(mixed), "doc_id"
+    )
+    got = {r.doc_id: r.pass_clf for r in flags.collect()}
+    pos_keep = sum(got[i] for i in range(150)) / 150
+    neg_keep = sum(got[i + 10_000] for i in range(150)) / 150
+    assert pos_keep > 0.9, pos_keep
+    assert neg_keep < 0.1, neg_keep
+    row = funnel_counts(flags).collect()[0]
+    assert row.after_lm >= row.kept
+    assert row.kept <= 160  # the junk side is filtered
+
+
+def test_clf_flags_degenerate_labels_pass_all(spark, corpora):
+    """All-one-class bootstrap labels mean no signal: every row passes
+    instead of fitting a vacuous model."""
+    from document_ai_spark.operators.curate import clf_flags
+
+    pos, _ = corpora  # every fluent doc passes quality AND gopher
+    out = clf_flags(pos)
+    assert out.count() == 150
+    assert out.filter("NOT pass_clf").count() == 0
+
+
 def test_classifier_threshold_monotone(spark, corpora):
     pos, neg = corpora
     model = train_quality_classifier(pos, neg)
