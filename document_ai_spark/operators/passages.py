@@ -49,3 +49,266 @@ def shared_passage_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring REMOVAL (r5) — the step that turns passage detection
+# into the dedup a pipeline actually ships (Lee et al.'s ExactSubstr
+# removes the duplicated bytes; reference analog: block dedup via cache
+# reuse, ai_documents/extraction/entities.py:208-235). Keep-first
+# policy: for every qualifying pair (a < b), the shared spans are cut
+# from b; the minimum doc keeps its copy.
+#
+# Everything is relational + column expressions (no UDF): shared
+# winnowing fingerprints give ANCHORS (aligned positions in both docs);
+# each anchor extends to the maximal byte-identical run around it by
+# comparing bounded text slices; per-victim spans union via a gap-island
+# window; excision rebuilds the text from the kept segments. All
+# positions (and the output text) live in the frozen winnowing
+# NORMALIZATION space: lower(regexp_replace(trim(text), '\s+', ' ')).
+# --------------------------------------------------------------------------
+
+# one anchor is kept per (pair, alignment shift, ANCHOR_BUCKET of
+# position): anchors of one shared run share a shift, so this collapses
+# the ~per-window anchor stream to one per bucket; MAX_EXTEND > 2 *
+# ANCHOR_BUCKET guarantees consecutive kept anchors of a long run still
+# produce overlapping spans, so the merge step recovers the full run
+ANCHOR_BUCKET = 256
+MAX_EXTEND = 1024
+MIN_SPAN = 40  # shorter byte-identical runs are phrase reuse, not passages
+
+
+def _norm_text(text_col: str = "text") -> F.Column:
+    """The winnowing normalization (queries_text spec) — spans index
+    into THIS string."""
+    return F.substring(
+        F.lower(
+            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+        ),
+        1, 1 << 24,
+    )
+
+
+def _common_prefix_len(x: F.Column, y: F.Column) -> F.Column:
+    """Length of the common prefix of two strings — the first-mismatch
+    index over a char-array zip, bounded by the shorter length (both
+    engines split '' to [''], so the bound must come from length(),
+    not array size)."""
+    za, zb = F.split(x, ""), F.split(y, "")
+    n = F.least(F.length(x), F.length(y))
+    mism = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.get(za, i) != F.get(zb, i),
+    )
+    return F.when(n > 0, F.coalesce(F.array_min(mism), n)).otherwise(
+        F.lit(0)
+    )
+
+
+def shared_passage_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 2,
+    max_doc_freq: int = 100,
+    min_span: int = MIN_SPAN,
+    _norm: DataFrame | None = None,
+) -> DataFrame:
+    """-> (doc_id, s, e): merged char spans [s, e) of the normalized
+    text of each VICTIM doc (the greater id of a qualifying pair) that
+    are byte-identical to a run in some lesser-id doc. Pipeline:
+    winnowed fingerprints -> doc-frequency cap -> pair gate
+    (>= min_shared shared fingerprints, same as shared_passage_pairs)
+    -> one anchor per (pair, shift, position bucket) -> bounded
+    maximal extension around each anchor -> per-victim interval union.
+    A fingerprint hash collision simply fails to extend and is dropped
+    by `min_span`.
+
+    `_norm` lets excise_shared_passages pass its already-materialized
+    normalized corpus so the two stages share one copy."""
+    from ..queries_text import winnow_fingerprints_df
+
+    if _norm is not None:
+        norm = _norm
+    else:
+        # the normalized corpus is read again for both slice sides:
+        # materialize it ONCE (the one deliberate intermediate this
+        # operator keeps, the way suffix-array dedup materializes its
+        # index) instead of re-deriving the regex normalization from
+        # the raw table per use
+        norm = df.select(
+            F.col(id_col).alias("doc_id"),
+            _norm_text(text_col).alias("t"),
+        ).localCheckpoint(eager=True)
+    fp = winnow_fingerprints_df(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    )
+    # one (position, doc) row per fingerprint occurrence set; min pos
+    # picks a canonical occurrence (repeats align approximately and are
+    # rescued or dropped by extension + min_span)
+    fpm = fp.groupBy("doc_id", "fingerprint").agg(
+        F.min("pos").alias("pos")
+    )
+    fpm = fpm.localCheckpoint(eager=True)  # three uses below
+    freq = fpm.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_df"))
+    kept = fpm.join(
+        freq.filter(F.col("_df") <= max_doc_freq).select("fingerprint"),
+        "fingerprint",
+    )
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), "fingerprint",
+        F.col("pos").alias("pos_a"),
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), "fingerprint",
+        F.col("pos").alias("pos_b"),
+    )
+    cand = a.join(b, "fingerprint").filter(F.col("doc_a") < F.col("doc_b"))
+    pairs = (
+        cand.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_a", "doc_b")
+    )
+    anchors = (
+        cand.join(pairs, ["doc_a", "doc_b"], "left_semi")
+        .groupBy(
+            "doc_a", "doc_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("shift"),
+            F.floor(F.col("pos_b") / ANCHOR_BUCKET).alias("bucket"),
+        )
+        .agg(F.min("pos_b").alias("pb"))
+        .select(
+            "doc_a", "doc_b",
+            (F.col("pb") + F.col("shift")).alias("pa"), "pb",
+        )
+    )
+    # bounded slices around the anchor in both docs; extension compares
+    # the slices char-by-char (forward for the right run, reversed for
+    # the left) — never the whole documents
+    witht = (
+        anchors.join(
+            norm.select(
+                F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            norm.select(
+                F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")
+            ),
+            "doc_b",
+        )
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    ext_r = _common_prefix_len(
+        F.col("ta").substr(pa + 1, F.lit(MAX_EXTEND)),
+        F.col("tb").substr(pb + 1, F.lit(MAX_EXTEND)),
+    )
+    la = F.least(pa, F.lit(MAX_EXTEND))
+    lb = F.least(pb, F.lit(MAX_EXTEND))
+    ext_l = _common_prefix_len(
+        F.reverse(F.col("ta").substr(pa - la + 1, la)),
+        F.reverse(F.col("tb").substr(pb - lb + 1, lb)),
+    )
+    spans = (
+        witht.select(
+            F.col("doc_b").alias("doc_id"),
+            (pb - ext_l).alias("s"),
+            (pb + ext_r).alias("e"),
+        )
+        .filter(F.col("e") - F.col("s") >= min_span)
+        .distinct()
+    )
+    # interval union per victim: gap-island over (s, e)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    island = F.sum(
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+    ).over(w.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        spans.withColumn("_i", island)
+        .groupBy("doc_id", "_i")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .drop("_i")
+    )
+
+
+def excise_shared_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 2,
+    max_doc_freq: int = 100,
+    min_span: int = MIN_SPAN,
+) -> DataFrame:
+    """-> (id, clean_text, n_spans, chars_removed) for EVERY input row:
+    victims get their shared spans cut out of the NORMALIZED text
+    (segments between spans reassembled in order — byte-exact
+    complement of the spans); untouched docs and pair keepers get the
+    normalized text unchanged with n_spans = 0."""
+    norm = df.select(
+        F.col(id_col).alias("doc_id"), _norm_text(text_col).alias("t")
+    ).localCheckpoint(eager=True)
+    # spans are tiny (victims x merged intervals) and consumed by both
+    # the segment builder and the removal stats — materialize
+    spans = shared_passage_spans(
+        df, id_col, text_col, min_shared, max_doc_freq, min_span,
+        _norm=norm,
+    ).localCheckpoint(eager=True)
+    from pyspark.sql.window import Window as W
+
+    wi = W.partitionBy("doc_id").orderBy("s")
+    before = spans.select(
+        "doc_id",
+        F.lag("e", 1, 0).over(wi).alias("ss"),
+        F.col("s").alias("se"),
+    )
+    tail = spans.groupBy("doc_id").agg(
+        F.max("e").alias("ss"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("chars_removed"),
+    )
+    segs = before.unionByName(
+        tail.join(norm, "doc_id").select(
+            "doc_id", "ss", F.length("t").alias("se")
+        )
+    )
+    rebuilt = (
+        segs.join(norm, "doc_id")
+        .select(
+            "doc_id", "ss",
+            F.col("t").substr(
+                F.col("ss") + 1, F.greatest(F.col("se") - F.col("ss"),
+                                            F.lit(0))
+            ).alias("seg"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ss", "seg"))
+                    ),
+                    lambda x: x["seg"],
+                ),
+            ).alias("clean_text")
+        )
+    )
+    victims = rebuilt.join(tail.select("doc_id", "n_spans",
+                                       "chars_removed"), "doc_id")
+    return (
+        norm.join(victims, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("clean_text", F.col("t")).alias("clean_text"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("chars_removed", F.lit(0)).alias("chars_removed"),
+        )
+    )

@@ -129,6 +129,28 @@ def _q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_passage_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL (operators/passages.
+    excise_shared_passages, r5) over the same injected-passage corpus
+    as the shared_passages branch: non-keeper docs must come back with
+    the duplicated run cut out byte-exactly — v_str md5-checks every
+    doc's cleaned text against the DuckDB twin of the whole
+    anchor-extend-merge-excise pipeline."""
+    from .operators.passages import excise_shared_passages
+
+    d0 = _t(spark, sf_dir, "documents")
+    inj = d0.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 40 == 3,
+            F.concat(F.col("text"), F.lit(" " + PASSAGE)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return excise_shared_passages(
+        inj, min_shared=PASSAGE_MIN_SHARED, max_doc_freq=PASSAGE_MAX_DF
+    )
+
+
 # --------------------------------------------------------------------------
 # Corpus-ops branches (r5): driver rows for the four r4 operators that
 # were pytest-only (quality_lm, domain_mixture, crawl_diff, quality_clf).
@@ -237,7 +259,7 @@ def _q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_relational_demo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Union of 14 demos normalized to (section, k, v_num, v_str). Each
+    """Union of 15 demos normalized to (section, k, v_num, v_str). Each
     branch is the unchanged original query/operator (operator identity
     preserved — e.g. the pivot branch still runs a real pivot, the
     chunking branch runs the real chunk_documents operator), only the
@@ -245,11 +267,12 @@ def q_relational_demo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-ops branches (shared_passages, chunking) so the
     previously pytest-only operators get driver rows without breaching
     the 50-entry registry cap; the chunking branch hash-checks every
-    chunk's TEXT via md5 in v_str. r5 adds four more the same way:
+    chunk's TEXT via md5 in v_str. r5 adds five more the same way:
     quality_lm (per-doc surprisal + exact-rank bucket), domain_mixture
     (every keep/copy decision), crawl_diff (per-url status + both
     set-hashes), quality_clf (exact count + bounded-error separation
-    boolean)."""
+    boolean), passage_excision (exact-substring removal, per-doc
+    cleaned text md5-checked)."""
 
     def tag(name: str) -> F.Column:
         return F.lit(name).alias("section")
@@ -344,8 +367,17 @@ def q_relational_demo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_scored").cast("double").alias("v_num"),
         F.col("separated").cast("string").alias("v_str"),
     )
+    px = _q_passage_excision(spark, sf_dir).select(
+        tag("passage_excision"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("chars_removed").cast("double").alias("v_num"),
+        F.concat_ws(
+            ":", F.md5(F.encode("clean_text", "UTF-8")), "n_spans"
+        ).alias("v_str"),
+    )
     out = cs
-    for branch in (pv, ds, sq, so, sa, np_, do, sp, ck, ql, dm, cd, qc):
+    for branch in (pv, ds, sq, so, sa, np_, do, sp, ck, ql, dm, cd, qc,
+                   px):
         out = out.unionByName(branch)
     return out
 
@@ -499,6 +531,112 @@ FROM oh o FULL OUTER JOIN nh n ON o.doc_id = n.doc_id
 """
 
 
+def _sql_cp(x: str, y: str) -> str:
+    """DuckDB twin of passages._common_prefix_len: first-mismatch index
+    over per-char substr comparison, bounded by the shorter LENGTH
+    (str_split('') yields [''], so the bound must come from length)."""
+    n = f"least(length({x}), length({y}))"
+    return f"""CASE WHEN {n} > 0 THEN
+      coalesce(list_min(list_filter(range(0, {n}),
+                 i -> substr({x}, i + 1, 1) <> substr({y}, i + 1, 1))),
+               {n})
+      ELSE 0 END"""
+
+
+def _sql_passage_excision() -> str:
+    """DuckDB twin of excise_shared_passages over the injected-passage
+    corpus: winnow -> anchor (one per pair/shift/bucket) -> bounded
+    slice extension -> gap-island union -> segment reassembly. Every
+    constant (bucket 256, extend 1024, min_span 40, min_shared/max_df)
+    mirrors operators/passages.py."""
+    from .operators.passages import ANCHOR_BUCKET, MAX_EXTEND, MIN_SPAN
+    from .queries_text import sql_winnow_fingerprint
+
+    inj = f"""(SELECT doc_id,
+       text || CASE WHEN doc_id % 40 = 3
+                    THEN ' {PASSAGE}'
+                    ELSE '' END AS text
+  FROM documents)"""
+    cp_r = _sql_cp("sr_a", "sr_b")
+    cp_l = _sql_cp("sl_a", "sl_b")
+    return rf"""
+WITH nrm AS (
+  SELECT doc_id,
+         substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                1, {1 << 24}) AS t
+  FROM {inj}),
+fp AS ({sql_winnow_fingerprint(inj)}),
+fpm AS (SELECT doc_id, fingerprint, MIN(pos) AS pos
+        FROM fp GROUP BY doc_id, fingerprint),
+freq AS (SELECT fingerprint, COUNT(*) AS df FROM fpm GROUP BY fingerprint),
+kept AS (SELECT doc_id, fingerprint, pos
+         FROM fpm JOIN freq USING (fingerprint)
+         WHERE df <= {PASSAGE_MAX_DF}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, b.pos AS pos_b
+  FROM kept a JOIN kept b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id),
+prs AS (SELECT doc_a, doc_b FROM cand GROUP BY doc_a, doc_b
+        HAVING COUNT(*) >= {PASSAGE_MIN_SHARED}),
+cand2 AS (
+  SELECT doc_a, doc_b, pos_a - pos_b AS shift,
+         pos_b // {ANCHOR_BUCKET} AS bkt, pos_b
+  FROM cand JOIN prs USING (doc_a, doc_b)),
+anch AS (
+  SELECT doc_a, doc_b, MIN(pos_b) + shift AS pa, MIN(pos_b) AS pb
+  FROM cand2 GROUP BY doc_a, doc_b, shift, bkt),
+sl AS (
+  SELECT anch.doc_b AS doc_id, pb,
+         substr(ta.t, pa + 1, {MAX_EXTEND}) AS sr_a,
+         substr(tb.t, pb + 1, {MAX_EXTEND}) AS sr_b,
+         reverse(substr(ta.t, pa - least(pa, {MAX_EXTEND}) + 1,
+                        least(pa, {MAX_EXTEND}))) AS sl_a,
+         reverse(substr(tb.t, pb - least(pb, {MAX_EXTEND}) + 1,
+                        least(pb, {MAX_EXTEND}))) AS sl_b
+  FROM anch JOIN nrm ta ON anch.doc_a = ta.doc_id
+            JOIN nrm tb ON anch.doc_b = tb.doc_id),
+exts AS (SELECT doc_id, pb, {cp_r} AS ext_r, {cp_l} AS ext_l FROM sl),
+sp0 AS (
+  SELECT DISTINCT doc_id, pb - ext_l AS s, pb + ext_r AS e
+  FROM exts WHERE ext_l + ext_r >= {MIN_SPAN}),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS i
+  FROM (SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pm
+        FROM sp0)),
+mrg AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+        FROM isl GROUP BY doc_id, i),
+tails AS (
+  SELECT m.doc_id, MAX(m.e) AS ss, ANY_VALUE(length(n.t)) AS se,
+         COUNT(*) AS n_spans, SUM(m.e - m.s) AS chars_removed
+  FROM mrg m JOIN nrm n ON m.doc_id = n.doc_id GROUP BY m.doc_id),
+segs AS (
+  SELECT doc_id, lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s)
+             AS ss,
+         s AS se
+  FROM mrg
+  UNION ALL
+  SELECT doc_id, ss, se FROM tails),
+reb AS (
+  SELECT s.doc_id,
+         string_agg(substr(n.t, s.ss + 1, greatest(s.se - s.ss, 0)),
+                    '' ORDER BY s.ss) AS clean_text
+  FROM segs s JOIN nrm n ON s.doc_id = n.doc_id GROUP BY s.doc_id)
+SELECT n.doc_id,
+       COALESCE(r.clean_text, n.t) AS clean_text,
+       CAST(COALESCE(t.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(t.chars_removed, 0) AS BIGINT) AS chars_removed
+FROM nrm n LEFT JOIN reb r ON n.doc_id = r.doc_id
+           LEFT JOIN tails t ON n.doc_id = t.doc_id
+"""
+
+
 SQL_RELATIONAL_DEMO_SUITE = f"""
 SELECT 'collect_statuses' AS section, o_orderpriority AS k,
        CAST(n AS DOUBLE) AS v_num, statuses AS v_str
@@ -553,6 +691,11 @@ FROM ({_SQL_CRAWL_DIFF})
 UNION ALL
 SELECT 'quality_clf', 'separation', CAST(2 * COUNT(*) AS DOUBLE), 'true'
 FROM documents
+UNION ALL
+SELECT 'passage_excision', CAST(doc_id AS VARCHAR),
+       CAST(chars_removed AS DOUBLE),
+       md5(clean_text) || ':' || CAST(n_spans AS VARCHAR)
+FROM ({_sql_passage_excision()})
 """
 
 

@@ -50,6 +50,88 @@ def test_shared_passage_stop_fingerprints_dropped(spark):
     assert [(r.doc_a, r.doc_b, r.n_shared) for r in pairs] == [(1, 2, 2)]
 
 
+def _mkpassage(seed: str, n: int) -> str:
+    """n words of synthetic vocabulary that cannot collide with any
+    test prose (hex-ish nonsense words)."""
+    import hashlib
+
+    return " ".join(
+        hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:7]
+        for i in range(n)
+    )
+
+
+def test_excise_shared_passages_byte_exact(spark):
+    """The planted passage (plus the byte-identical spaces flanking it)
+    is cut EXACTLY from every non-keeper doc: clean_text equals the
+    constructed complement byte for byte, and the keeper plus
+    unrelated docs pass through untouched."""
+    from document_ai_spark.operators.passages import excise_shared_passages
+
+    p = _mkpassage("exact", 12)  # 12*8-1 = 95 chars >> MIN_SPAN
+    pre0, post0 = "alpha bravo charlie delta echo", "golf hotel india"
+    pre1, post1 = "nine eight seven six five four", "three two one zero"
+    rows = [
+        (0, f"{pre0} {p} {post0}"),
+        (1, f"{pre1} {p} {post1}"),
+        (2, "unrelated maritime navigation text with nothing shared"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in excise_shared_passages(docs).collect()}
+    # keeper (min id) and the unrelated doc: untouched normalized text
+    assert got[0].clean_text == rows[0][1]
+    assert got[0].n_spans == 0
+    assert got[2].clean_text == rows[2][1]
+    # victim: the shared run is ' p ' (both flanking spaces are
+    # byte-identical in both docs, the letters beyond differ) — the
+    # complement glues the surrounding words, BYTE-exactly
+    assert got[1].clean_text == f"{pre1}{post1}"
+    assert got[1].n_spans == 1
+    assert got[1].chars_removed == len(p) + 2
+
+
+def test_excise_long_passage_bucket_merge(spark):
+    """A passage much longer than MAX_EXTEND: anchors are kept per
+    position bucket, each extends a bounded distance, and the
+    gap-island union must recover the WHOLE run — clean_text is still
+    the exact complement."""
+    from document_ai_spark.operators.passages import (
+        MAX_EXTEND,
+        excise_shared_passages,
+    )
+
+    p = _mkpassage("long", 400)  # ~3200 chars >> MAX_EXTEND
+    assert len(p) > 2 * MAX_EXTEND
+    rows = [
+        (0, f"start one {p} finish one"),
+        (1, f"begin two {p} ending two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in excise_shared_passages(docs).collect()}
+    assert got[0].clean_text == rows[0][1]
+    assert got[1].clean_text == "begin twoending two"
+    assert got[1].n_spans == 1
+    assert got[1].chars_removed == len(p) + 2
+
+
+def test_excise_keep_first_chain(spark):
+    """Three docs sharing the passage: the minimum id keeps it, both
+    higher ids lose it."""
+    from document_ai_spark.operators.passages import excise_shared_passages
+
+    p = _mkpassage("chain", 12)
+    rows = [
+        (7, f"aa bb cc {p} dd ee"),
+        (8, f"ff gg hh {p} ii jj"),
+        (9, f"kk ll mm {p} nn oo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in excise_shared_passages(docs).collect()}
+    assert got[7].clean_text == rows[0][1] and got[7].n_spans == 0
+    assert got[8].clean_text == "ff gg hhii jj"
+    assert got[9].clean_text == "kk ll mmnn oo"
+
+
 def test_registry_cap_and_full_oracle_coverage():
     """The driver gate records ~50 entries: the registry must stay at
     EXACTLY 50, every entry must have an oracle, and no oracle may be
