@@ -22,13 +22,36 @@ def chunk_documents(
     text_col: str = "text",
     max_words: int = 512,
     overlap: int = 64,
+    unit: str = "words",
+    merges: list | None = None,
 ) -> DataFrame:
     """df(id, text, ...) -> (id, chunk_no, n_chunks, chunk_text,
-    chunk_words). Windows of `max_words` words advancing by
+    chunk_words). Windows of `max_words` BUDGET UNITS advancing by
     (max_words - overlap); the final window may be shorter; a document
-    of <= max_words words is one chunk. `overlap` must be < max_words."""
+    within one budget is one chunk. `overlap` must be < max_words.
+
+    unit='words' (default): the budget counts whitespace words —
+    the oracle-checked frozen behavior. unit='subwords' (r5): the
+    budget counts BPE subword tokens under a learned merge table
+    (functions/subword.learn_bpe) — what a training loader's context
+    window actually counts. Splitting stays at word granularity:
+    chunks are cut stream-wise where the running subword total crosses
+    the budget, so a chunk holds at most max_words +
+    (widest word's pieces) - 1 subwords (the same bounded-overflow
+    contract as pack_sequences); overlap must be 0 in subword mode
+    (re-serving trailing words would need a sequential per-chunk
+    re-count that no plain window expresses)."""
     if not 0 <= overlap < max_words:
         raise ValueError("need 0 <= overlap < max_words")
+    if unit == "subwords":
+        if merges is None:
+            raise ValueError("unit='subwords' needs a BPE merge table")
+        if overlap != 0:
+            raise ValueError("subword budgets support overlap=0 only")
+        return _chunk_by_subwords(df, id_col, text_col, max_words,
+                                  merges)
+    if unit != "words":
+        raise ValueError(f"unknown unit {unit!r}")
     stride = max_words - overlap
     words = _norm_words(text_col)
     d = df.select(
@@ -58,6 +81,64 @@ def chunk_documents(
     )
 
 
+def _chunk_by_subwords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    merges: list,
+) -> DataFrame:
+    """Stream-cut word grouping under a subword budget: per-word piece
+    counts come from ONE BPE encode per distinct word (joined back),
+    a per-doc running total assigns each word to the chunk its last
+    piece lands in, and chunk ids are dense-renumbered (a single word
+    wider than the budget owns its own chunk without leaving a gap).
+    Output adds chunk_subwords next to the word-mode schema."""
+    from pyspark.sql.window import Window as W
+
+    from ..functions.subword import word_piece_counts
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(_norm_words(text_col)).alias("pos", "word"),
+    )
+    wp = word_piece_counts(
+        words.select("word").distinct(), merges
+    )
+    ww = words.join(wp, "word")
+    wdoc = W.partitionBy(id_col).orderBy("pos")
+    cum = F.sum("n_pieces").over(
+        wdoc.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cut = ((cum - 1) / budget).cast("int")
+    ww = ww.withColumn(
+        "_chunk", F.greatest(cut, F.lit(0))
+    ).withColumn(
+        "chunk_no",
+        F.dense_rank().over(W.partitionBy(id_col).orderBy("_chunk")) - 1,
+    )
+    # words re-join with single spaces (the normalization the word
+    # split came from), ordered by their in-doc position
+    chunks = ww.groupBy(id_col, "chunk_no").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).alias("chunk_words"),
+        F.sum("n_pieces").cast("long").alias("chunk_subwords"),
+    )
+    wn = W.partitionBy(id_col)
+    return chunks.withColumn(
+        "n_chunks", F.max(F.col("chunk_no") + 1).over(wn)
+    ).select(
+        id_col, "chunk_no", "n_chunks", "chunk_text", "chunk_words",
+        "chunk_subwords",
+    )
+
+
 N_PACK_GROUPS = 1024
 
 
@@ -83,6 +164,11 @@ def pack_sequences(
     exactly one shuffle; no global sort, no driver state. A chunk wider
     than `pack_words` becomes its own (oversized) pack — callers chunk
     first, pack second.
+
+    The budget counts whatever `words_col` counts: pass
+    chunk_subwords from chunk_documents(unit='subwords') and the packs
+    are budgeted in BPE tokens — the loader-true unit (r5) — with no
+    change here.
 
     Packing semantics (stream-cut, bounded overflow): a chunk belongs
     to the pack its last word lands in when the running total is cut
