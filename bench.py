@@ -13,6 +13,12 @@ Parts, one JSON line on stdout:
      against the measured MP control, not against a perfect linear
      speedup. The headline efficiency is the MEDIAN of the interleaved
      pairwise ratios (no best-case selection).
+  3. Pipeline end-to-end (r5): the composed `pipeline` verb over a
+     16k-page corpus slice — per-stage walls for the PRODUCT path.
+  4. Previous-round A/B (r5): interleaved pinned extraction runs of the
+     r4 package (git archive of the pinned commit) vs the current
+     build, probe-normalized — cross-round regressions measured in one
+     session instead of inferred across ±2x host drift.
   Results also written to BENCH/BASELINE.md.
 """
 
@@ -123,16 +129,17 @@ def ensure_corpus(n_docs: int) -> str:
     return out_dir
 
 
-def _zip_pkg(tmp: str) -> str:
-    zpath = os.path.join(tmp, "das.zip")
+def _zip_pkg(tmp: str, pkg_root: str = REPO,
+             name: str = "das.zip") -> str:
+    zpath = os.path.join(tmp, name)
     with zipfile.ZipFile(zpath, "w") as z:
-        pkg = os.path.join(REPO, "document_ai_spark")
+        pkg = os.path.join(pkg_root, "document_ai_spark")
         for root, _dirs, files in os.walk(pkg):
             if "__pycache__" in root:
                 continue
             for fn in files:
                 full = os.path.join(root, fn)
-                z.write(full, os.path.relpath(full, REPO))
+                z.write(full, os.path.relpath(full, pkg_root))
     return zpath
 
 
@@ -188,7 +195,7 @@ def _cpu_probe(corpus: str) -> float:
 
 
 def _one_scaling_run(corpus: str, zpath: str, cores: int, out_t: str,
-                     has_taskset: bool) -> dict:
+                     has_taskset: bool, script: str | None = None) -> dict:
     # Pin the whole process tree (JVM + python workers) to `cores` CPUs:
     # Spark local[N] caps JVM task slots but NOT python-worker CPU, so
     # without pinning a "2-core" run happily burns 8+ cores and the
@@ -200,7 +207,7 @@ def _one_scaling_run(corpus: str, zpath: str, cores: int, out_t: str,
         # spark.driver.memory is ignored once the JVM is up
         "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
         "--py-files", zpath,
-        os.path.join(REPO, "document_ai_spark", "__main__.py"),
+        script or os.path.join(REPO, "document_ai_spark", "__main__.py"),
         "extract", "--input", corpus, "--output", out_t,
         "--n-shards", "1", "--shards-per-commit", "1",
     ]
@@ -299,8 +306,128 @@ def run_scaling(corpus: str) -> dict:
     return res
 
 
+# previous round's final commit — the interleaved A/B baseline (r4
+# verdict item 8: host speed drifts ±2x between rounds, so cross-round
+# comparisons must be measured in ONE session, adjacent in time)
+AB_REF_COMMIT = "984108a"
+
+
+def ab_vs_prev_round(corpus: str) -> dict:
+    """Interleaved previous-round A/B: extract the pinned r4 package
+    with `git archive`, then alternate pinned extraction runs
+    ref, cur, ref, cur at the N->4N pair's hi width with a
+    single-thread probe before each run. The headline is the MEDIAN
+    probe-normalized cur/ref ratio — any engine-attributable
+    extraction regression shows as a ratio well below 1.0 regardless
+    of host drift."""
+    import shutil
+    from statistics import median
+
+    tmp = tempfile.mkdtemp(prefix="das_ab_")
+    try:
+        ref_root = os.path.join(tmp, "ref")
+        os.makedirs(ref_root)
+        tar = subprocess.run(
+            ["git", "-C", REPO, "archive", AB_REF_COMMIT,
+             "document_ai_spark"],
+            capture_output=True, check=True,
+        )
+        subprocess.run(
+            ["tar", "-x", "-C", ref_root],
+            input=tar.stdout, check=True,
+        )
+        ref_zip = _zip_pkg(tmp, pkg_root=ref_root, name="ref.zip")
+        cur_zip = _zip_pkg(tmp, name="cur.zip")
+        ref_script = os.path.join(
+            ref_root, "document_ai_spark", "__main__.py"
+        )
+        has_taskset = shutil.which("taskset") is not None
+        cores = SCALE_CORES[1]
+        runs: dict = {"ref": [], "cur": []}
+        probes: dict = {"ref": [], "cur": []}
+        for i, side in enumerate(("ref", "cur", "ref", "cur")):
+            probes[side].append(_cpu_probe(corpus))
+            zpath = ref_zip if side == "ref" else cur_zip
+            script = ref_script if side == "ref" else None
+            r = _one_scaling_run(
+                corpus, zpath, cores, os.path.join(tmp, f"ab_{i}"),
+                has_taskset, script=script,
+            )
+            runs[side].append(r["docs_per_sec"])
+        ratios = [
+            (c / pc) / (r / pr)
+            for r, c, pr, pc in zip(
+                runs["ref"], runs["cur"], probes["ref"], probes["cur"]
+            )
+            if r > 0 and pr > 0 and pc > 0
+        ]
+        return {
+            "ref_commit": AB_REF_COMMIT,
+            "cores": cores,
+            "ref_docs_per_sec": runs["ref"],
+            "cur_docs_per_sec": runs["cur"],
+            "probe_ref": probes["ref"],
+            "probe_cur": probes["cur"],
+            "cur_over_ref_probe_normalized": round(median(ratios), 3)
+            if ratios else None,
+            "ratios": [round(x, 3) for x in ratios],
+        }
+    except Exception as e:  # noqa: BLE001 — bench must finish without git
+        return {"error": f"{type(e).__name__}: {e}"}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+PIPE_SHARDS = 4  # 4/32 of the bench corpus = 16k pages
+
+
+def pipeline_bench(spark, corpus: str) -> dict:
+    """End-to-end wall of the composed `pipeline` verb (r4 verdict
+    item 4: the product path had no tracked number, so a regression in
+    the gate/curate/chunk/pack/export COMPOSITION was invisible).
+    Runs source->extract->curate(dedup,quality,neardup)->chunk->pack->
+    export over a 16k-page slice of the bench corpus; reports total
+    and per-stage walls."""
+    import glob
+    import shutil
+
+    from document_ai_spark.pipeline import run_pipeline
+
+    tmp = tempfile.mkdtemp(prefix="das_pipe_bench_")
+    src = os.path.join(tmp, "pages")
+    os.makedirs(src)
+    for f in sorted(glob.glob(os.path.join(corpus, "*.parquet")))[
+        :PIPE_SHARDS
+    ]:
+        os.symlink(f, os.path.join(src, os.path.basename(f)))
+    try:
+        summary = run_pipeline(
+            spark, src, os.path.join(tmp, "wd"),
+            os.path.join(tmp, "shards"),
+            rules=("dedup", "quality", "neardup"),
+            chunk_words=256, chunk_overlap=32,
+            n_shards=8, shards_per_commit=8,
+            pack_words=2048,
+        )
+        return {
+            "n_pages": summary["stages"]["extract"]["docs"],
+            "docs_kept": summary["stages"]["curate"]["docs_kept"],
+            "chunks": summary["stages"]["chunk"]["chunks"],
+            "packs": summary["stages"]["pack"]["packs"],
+            "total_sec": summary["wall_sec"],
+            "stage_sec": {
+                name: st["wall_sec"]
+                for name, st in summary["stages"].items()
+                if "wall_sec" in st
+            },
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def write_baseline_md(scaling: dict, mp: dict, queries: dict,
-                      sf: str) -> None:
+                      sf: str, pipe: dict | None = None,
+                      ab: dict | None = None) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     lines = [
         "# BENCH/BASELINE.md — measured engine numbers",
@@ -421,6 +548,46 @@ def write_baseline_md(scaling: dict, mp: dict, queries: dict,
     ]
     for k, v in queries.items():
         lines.append(f"| {k} | {v} |")
+    if pipe and "total_sec" in pipe:
+        lines += [
+            "",
+            f"## Pipeline end-to-end ({pipe.get('n_pages')} pages, "
+            f"local[{CPUS}])",
+            "",
+            "The composed `pipeline` verb (source -> extract -> "
+            "curate[dedup,quality,neardup] -> chunk -> pack -> JSONL "
+            "export) over a bench-corpus slice — the tracked number for "
+            "the PRODUCT path, not just per-operator times (r5).",
+            "",
+            f"**total {pipe['total_sec']} s** — "
+            + ", ".join(
+                f"{k} {v}s" for k, v in pipe.get("stage_sec", {}).items()
+            ),
+            "",
+            f"kept {pipe.get('docs_kept')} docs -> "
+            f"{pipe.get('chunks')} chunks -> {pipe.get('packs')} packs.",
+        ]
+    if ab:
+        lines += ["", "## Previous-round A/B (interleaved, one session)",
+                  ""]
+        if "error" in ab:
+            lines.append(f"A/B unavailable this run: {ab['error']}")
+        else:
+            lines += [
+                f"Pinned extraction at local[{ab['cores']}], alternating "
+                f"the r4 package (git archive {ab['ref_commit']}) with "
+                "the current build, single-thread probe before every "
+                "run:",
+                "",
+                f"ref {ab['ref_docs_per_sec']} vs cur "
+                f"{ab['cur_docs_per_sec']} docs/s (probes "
+                f"{ab['probe_ref']} / {ab['probe_cur']}); "
+                f"**median probe-normalized cur/ref = "
+                f"{ab['cur_over_ref_probe_normalized']}** "
+                f"(pairs: {ab['ratios']}). Host drift cancels in the "
+                "adjacent-in-time pairs, so a ratio near 1.0 means no "
+                "engine-attributable extraction regression.",
+            ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
@@ -569,9 +736,12 @@ def main() -> int:
         t0 = time.time()
         qs[name](spark, SF_DIR).count()
         q_times[name] = round(time.time() - t0, 2)
+    print(f"[bench] headline done +{time.time()-t_start:.0f}s",
+          file=sys.stderr)
+    pipe = pipeline_bench(spark, corpus)
     spark.stop()
 
-    print(f"[bench] headline done +{time.time()-t_start:.0f}s",
+    print(f"[bench] pipeline done +{time.time()-t_start:.0f}s",
           file=sys.stderr)
     scaling = run_scaling(corpus)
     print(f"[bench] scaling done +{time.time()-t_start:.0f}s",
@@ -588,8 +758,11 @@ def main() -> int:
     scaling["salting_pathology"] = salting_pathology(corpus)
     print(f"[bench] salting pathology done +{time.time()-t_start:.0f}s",
           file=sys.stderr)
+    ab = ab_vs_prev_round(corpus)
+    print(f"[bench] prev-round A/B done +{time.time()-t_start:.0f}s",
+          file=sys.stderr)
     total = round(sum(q_times.values()), 2)
-    write_baseline_md(scaling, mp, q_times, SF_DIR)
+    write_baseline_md(scaling, mp, q_times, SF_DIR, pipe=pipe, ab=ab)
     print(
         json.dumps(
             {
@@ -600,6 +773,8 @@ def main() -> int:
                 "sf": SF_DIR,
                 "extraction_scaling": scaling,
                 "mp_control": mp,
+                "pipeline_sf01_sec": pipe,
+                "ab_vs_prev_round": ab,
             }
         )
     )
