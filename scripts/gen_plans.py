@@ -21,6 +21,7 @@ def main() -> int:
     from document_ai_spark import queries_ml as M
     from document_ai_spark import queries_pipeline as P  # noqa: F401
     from document_ai_spark import queries_spatial as SP
+    from document_ai_spark import queries_suites as SU
     from document_ai_spark import queries_text as TX
     from document_ai_spark.datagen import write_corpus
     from document_ai_spark.operators.extraction import extract_pages
@@ -174,6 +175,23 @@ touches only the IVF_NPROBE selected lists. In production the inverted
 lists and centroid sums are materialized once as the vector table's
 physical partitioning — this composed one-query form exists for the
 correctness gate; the scan-count audit documents the difference.
+""",
+        "## passage_excision — exact-substring removal (r5)\n",
+        "```\n" + plan(SU._q_passage_excision(spark, sf),
+                       keep=["ReadSchema"]) + "\n```\n",
+        """**Scale notes.** Candidate pairs come from the winnowing
+fingerprint self-join bucketed BY FINGERPRINT with a doc-frequency cap
+(never all-pairs); anchors collapse to one per (pair, alignment shift,
+256-char position bucket), so a long shared run costs O(len/256)
+extensions, each comparing two BOUNDED 1024-char slices (column
+expressions, no UDF). The normalized corpus and the merged span table
+are the two deliberate materializations (localCheckpoint here; a real
+deployment writes them as tables, the way suffix-array dedup
+materializes its index). Span union and segment reassembly are
+per-victim windows/aggregations hash-partitioned on doc_id. The merge
+step guarantees full-run recovery because consecutive kept anchors are
+<= 2*bucket apart < the extension bound (pytested with a passage 3x
+the bound).
 """,
         "## interval_union — window cumulative-max grouping\n",
         "```\n" + plan(Q.q_interval_union(spark, sf)) + "\n```\n",
