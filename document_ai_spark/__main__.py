@@ -352,6 +352,10 @@ def cmd_pipeline(args) -> int:
         compact_mb=args.compact_mb,
         pack_words=args.pack_words,
         baseline_pages=args.baseline_pages,
+        excise=args.excise,
+        excise_min_shared=args.excise_min_shared,
+        excise_max_df=args.excise_max_df,
+        chunk_unit=args.chunk_unit,
     )
     print(json.dumps(summary))
     return 0
@@ -524,6 +528,17 @@ def main(argv: list[str] | None = None) -> int:
                     "lm,clf)")
     pl.add_argument("--chunk-words", type=int, default=512)
     pl.add_argument("--chunk-overlap", type=int, default=64)
+    pl.add_argument("--excise", action="store_true",
+                    help="cut passages shared verbatim across kept docs "
+                    "from every non-keeper (exact-substring removal; "
+                    "output text is the normalized form)")
+    pl.add_argument("--excise-min-shared", type=int, default=8)
+    pl.add_argument("--excise-max-df", type=int, default=20)
+    pl.add_argument("--chunk-unit", choices=("words", "subwords"),
+                    default="words",
+                    help="budget chunks (and packs) in whitespace words "
+                    "or learned-BPE subword tokens (needs "
+                    "--chunk-overlap 0)")
     pl.add_argument("--n-shards", type=int, default=16)
     pl.add_argument("--shards-per-commit", type=int, default=4)
     pl.add_argument("--run-id", default=None)

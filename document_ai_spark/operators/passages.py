@@ -76,6 +76,14 @@ def shared_passage_pairs(
 ANCHOR_BUCKET = 256
 MAX_EXTEND = 1024
 MIN_SPAN = 40  # shorter byte-identical runs are phrase reuse, not passages
+# extension is only paid for (pair, alignment shift) groups backed by at
+# least this many shared fingerprints: a genuine run of >= MIN_SPAN chars
+# contributes ~(MIN_SPAN-12)/5 same-shift fingerprints by the winnowing
+# window guarantee (~5 at 40 chars), while single reused phrases — which
+# on template-built web text can qualify nearly every doc pair — carry 1-2
+# and would otherwise explode the extension stage (measured: 60 extracted
+# docs -> 970 pairs, 41.6k anchors without this filter, near-zero with)
+MIN_SHIFT_SUPPORT = 3
 
 
 def _norm_text(text_col: str = "text") -> F.Column:
@@ -90,19 +98,23 @@ def _norm_text(text_col: str = "text") -> F.Column:
 
 
 def _common_prefix_len(x: F.Column, y: F.Column) -> F.Column:
-    """Length of the common prefix of two strings — the first-mismatch
-    index over a char-array zip, bounded by the shorter length (both
-    engines split '' to [''], so the bound must come from length(),
-    not array size)."""
+    """Length of the common prefix of two strings: one zip_with pass
+    over the char arrays (each split evaluates ONCE per row —
+    indexing the split inside a per-element lambda re-evaluates the
+    regex split per character and goes quadratic; measured 327 s ->
+    ~2 s on the 60-doc extracted corpus), then the first True position.
+    zip_with pads the shorter array with nulls, which read as
+    mismatches, so the padded tail never extends past the shorter
+    string; both engines split '' to [''], and '' != '' is False, so
+    the explicit length bound handles the empty-slice case."""
     za, zb = F.split(x, ""), F.split(y, "")
     n = F.least(F.length(x), F.length(y))
-    mism = F.filter(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.get(za, i) != F.get(zb, i),
+    mism = F.zip_with(
+        za, zb,
+        lambda a, b: a.isNull() | b.isNull() | (a != b),
     )
-    return F.when(n > 0, F.coalesce(F.array_min(mism), n)).otherwise(
-        F.lit(0)
-    )
+    pos = F.array_position(mism, F.lit(True))  # 1-based, 0 if none
+    return F.least(F.when(pos > 0, pos - 1).otherwise(n), n)
 
 
 def shared_passage_spans(
@@ -112,6 +124,7 @@ def shared_passage_spans(
     min_shared: int = 2,
     max_doc_freq: int = 100,
     min_span: int = MIN_SPAN,
+    min_shift_support: int = MIN_SHIFT_SUPPORT,
     _norm: DataFrame | None = None,
 ) -> DataFrame:
     """-> (doc_id, s, e): merged char spans [s, e) of the normalized
@@ -119,10 +132,12 @@ def shared_passage_spans(
     are byte-identical to a run in some lesser-id doc. Pipeline:
     winnowed fingerprints -> doc-frequency cap -> pair gate
     (>= min_shared shared fingerprints, same as shared_passage_pairs)
-    -> one anchor per (pair, shift, position bucket) -> bounded
-    maximal extension around each anchor -> per-victim interval union.
-    A fingerprint hash collision simply fails to extend and is dropped
-    by `min_span`.
+    -> same-shift support gate (>= min_shift_support fingerprints per
+    (pair, alignment) before any extension is paid — see the
+    MIN_SHIFT_SUPPORT note) -> one anchor per (pair, shift, position
+    bucket) -> bounded maximal extension around each anchor ->
+    per-victim interval union. A fingerprint hash collision simply
+    fails to extend and is dropped by `min_span`.
 
     `_norm` lets excise_shared_passages pass its already-materialized
     normalized corpus so the two stages share one copy."""
@@ -141,7 +156,10 @@ def shared_passage_spans(
             _norm_text(text_col).alias("t"),
         ).localCheckpoint(eager=True)
     fp = winnow_fingerprints_df(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
     )
     # one (position, doc) row per fingerprint occurrence set; min pos
     # picks a canonical occurrence (repeats align approximately and are
@@ -170,11 +188,20 @@ def shared_passage_spans(
         .filter(F.col("n_shared") >= min_shared)
         .select("doc_a", "doc_b")
     )
-    anchors = (
+    cand2 = (
         cand.join(pairs, ["doc_a", "doc_b"], "left_semi")
+        .withColumn("shift", F.col("pos_a") - F.col("pos_b"))
+    )
+    support = (
+        cand2.groupBy("doc_a", "doc_b", "shift")
+        .agg(F.count(F.lit(1)).alias("_sup"))
+        .filter(F.col("_sup") >= min_shift_support)
+        .select("doc_a", "doc_b", "shift")
+    )
+    anchors = (
+        cand2.join(support, ["doc_a", "doc_b", "shift"], "left_semi")
         .groupBy(
-            "doc_a", "doc_b",
-            (F.col("pos_a") - F.col("pos_b")).alias("shift"),
+            "doc_a", "doc_b", "shift",
             F.floor(F.col("pos_b") / ANCHOR_BUCKET).alias("bucket"),
         )
         .agg(F.min("pos_b").alias("pb"))
@@ -246,6 +273,7 @@ def excise_shared_passages(
     min_shared: int = 2,
     max_doc_freq: int = 100,
     min_span: int = MIN_SPAN,
+    min_shift_support: int = MIN_SHIFT_SUPPORT,
 ) -> DataFrame:
     """-> (id, clean_text, n_spans, chars_removed) for EVERY input row:
     victims get their shared spans cut out of the NORMALIZED text
@@ -259,7 +287,7 @@ def excise_shared_passages(
     # the segment builder and the removal stats — materialize
     spans = shared_passage_spans(
         df, id_col, text_col, min_shared, max_doc_freq, min_span,
-        _norm=norm,
+        min_shift_support, _norm=norm,
     ).localCheckpoint(eager=True)
     from pyspark.sql.window import Window as W
 

@@ -75,14 +75,38 @@ def run_pipeline(
     compact_mb: int | None = None,
     pack_words: int | None = None,
     baseline_pages: str | None = None,
+    excise: bool = False,
+    excise_min_shared: int = 8,
+    excise_max_df: int = 20,
+    chunk_unit: str = "words",
 ) -> dict:
-    """Run (or resume) the full pipeline. Returns a per-stage summary."""
+    """Run (or resume) the full pipeline. Returns a per-stage summary.
+
+    `excise=True` inserts an exact-substring-removal stage between
+    curate and chunk: passages shared verbatim across kept documents
+    are cut from every non-keeper doc (operators/passages); NOTE the
+    surviving text is the frozen winnowing NORMALIZATION
+    (lowercased, whitespace-collapsed) of main_text — the space the
+    spans are defined in. `excise_min_shared`/`excise_max_df` default
+    to the proven corpus constants (8 shared fingerprints to pair, df
+    cap 20) — the operator's own looser defaults pair nearly
+    everything on a shared-vocabulary corpus via common-phrase
+    fingerprints (the r4 suite lesson). `chunk_unit='subwords'` learns a
+    deterministic BPE merge table from the curated corpus
+    (functions/subword, bounded fit) and budgets chunking — and, with
+    `pack_words`, packing — in subword tokens instead of whitespace
+    words (overlap must be 0)."""
     from .operators.chunking import chunk_documents
     from .operators.curate import curation_flags, kept_filter
     from .operators.lineage import run_extraction_job
     from .operators.pageflags import indexable_pages
     from .sources.jsonl import write_jsonl
 
+    if chunk_unit == "subwords" and chunk_overlap != 0:
+        raise ValueError(
+            "chunk_unit='subwords' requires chunk_overlap=0 "
+            "(stream-cut budgets cannot re-serve trailing words)"
+        )
     os.makedirs(workdir, exist_ok=True)
     summary: dict = {"stages": {}}
     t_start = time.time()
@@ -285,16 +309,69 @@ def run_pipeline(
         }
         _timed("curate", t0)
 
+    # ---- 4b. optional exact-substring removal: passages shared
+    # verbatim across kept docs are cut from every non-keeper (the
+    # Lee-et-al ExactSubstr step; detection alone is not dedup) ----
+    text_src = curated_dir
+    if excise:
+        from pyspark.sql import functions as F
+
+        from .operators.passages import excise_shared_passages
+
+        excised_dir = _sub(workdir, "excised")
+        if _committed(excised_dir):
+            summary["stages"]["excise"] = {"skipped": True}
+        else:
+            t0 = time.time()
+            curated = spark.read.parquet(curated_dir)
+            clean = excise_shared_passages(
+                curated, id_col="url", text_col="main_text",
+                min_shared=excise_min_shared,
+                max_doc_freq=excise_max_df,
+            )
+            (
+                curated.drop("main_text")
+                .join(clean, "url")
+                .withColumnRenamed("clean_text", "main_text")
+                .write.mode("overwrite").parquet(excised_dir)
+            )
+            victims = spark.read.parquet(excised_dir).filter(
+                F.col("n_spans") > 0
+            )
+            agg = victims.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("chars_removed").alias("ch"),
+            ).first()
+            summary["stages"]["excise"] = {
+                "skipped": False,
+                "docs_excised": agg["n"],
+                "chars_removed": int(agg["ch"] or 0),
+            }
+            _timed("excise", t0)
+        text_src = excised_dir
+
+    # ---- 4c. optional subword budgets: learn the deterministic BPE
+    # merge table from the kept corpus (bounded fit, driver loop) ----
+    merges = None
+    if chunk_unit == "subwords":
+        from .functions.subword import learn_bpe
+
+        merges = learn_bpe(
+            spark.read.parquet(text_src), text_col="main_text"
+        )
+        summary["stages"]["bpe"] = {"n_merges": len(merges)}
+
     # ---- 5. chunk: training windows over the kept text ----
     chunks_dir = _sub(workdir, "chunks")
     if _committed(chunks_dir):
         summary["stages"]["chunk"] = {"skipped": True}
     else:
         t0 = time.time()
-        curated = spark.read.parquet(curated_dir)
+        curated = spark.read.parquet(text_src)
         chunks = chunk_documents(
             curated, id_col="url", text_col="main_text",
             max_words=chunk_words, overlap=chunk_overlap,
+            unit=chunk_unit, merges=merges,
         ).join(curated.select("url", "warc_ts"), "url")
         chunks.write.mode("overwrite").parquet(chunks_dir)
         summary["stages"]["chunk"] = {
@@ -308,6 +385,8 @@ def run_pipeline(
     # wasted) ----
     export_src = chunks_dir
     meta_cols = ("chunk_no", "n_chunks", "chunk_words")
+    if chunk_unit == "subwords":
+        meta_cols += ("chunk_subwords",)
     if pack_words:
         from .operators.chunking import pack_sequences
 
@@ -319,6 +398,9 @@ def run_pipeline(
             packed = pack_sequences(
                 spark.read.parquet(chunks_dir),
                 pack_words=pack_words, id_col="url",
+                # subword mode packs in the loader-true unit too
+                words_col="chunk_subwords"
+                if chunk_unit == "subwords" else "chunk_words",
             )
             packed.write.mode("overwrite").parquet(packs_dir)
             # distinct pack identities cannot come from footers; the
@@ -335,6 +417,9 @@ def run_pipeline(
         export_src = packs_dir
         meta_cols = (
             "chunk_no", "n_chunks", "chunk_words",
+        ) + (
+            ("chunk_subwords",) if chunk_unit == "subwords" else ()
+        ) + (
             "pack_group", "pack_no", "pack_seq",
         )
 

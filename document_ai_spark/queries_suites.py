@@ -532,24 +532,33 @@ FROM oh o FULL OUTER JOIN nh n ON o.doc_id = n.doc_id
 
 
 def _sql_cp(x: str, y: str) -> str:
-    """DuckDB twin of passages._common_prefix_len: first-mismatch index
-    over per-char substr comparison, bounded by the shorter LENGTH
-    (str_split('') yields [''], so the bound must come from length)."""
+    """DuckDB twin of passages._common_prefix_len: one list_zip pass
+    over the char arrays (per-char substr would re-seek the string per
+    element — the quadratic form both engines must avoid), first True
+    position (list_position: 1-based, 0 when absent), bounded by the
+    shorter LENGTH (str_split('') yields [''])."""
     n = f"least(length({x}), length({y}))"
-    return f"""CASE WHEN {n} > 0 THEN
-      coalesce(list_min(list_filter(range(0, {n}),
-                 i -> substr({x}, i + 1, 1) <> substr({y}, i + 1, 1))),
-               {n})
-      ELSE 0 END"""
+    pos = (
+        f"list_position(list_transform(list_zip(str_split({x}, ''), "
+        f"str_split({y}, '')), p -> p[1] IS DISTINCT FROM p[2]), true)"
+    )
+    return (
+        f"least(CASE WHEN {pos} > 0 THEN {pos} - 1 ELSE {n} END, {n})"
+    )
 
 
 def _sql_passage_excision() -> str:
     """DuckDB twin of excise_shared_passages over the injected-passage
     corpus: winnow -> anchor (one per pair/shift/bucket) -> bounded
     slice extension -> gap-island union -> segment reassembly. Every
-    constant (bucket 256, extend 1024, min_span 40, min_shared/max_df)
-    mirrors operators/passages.py."""
-    from .operators.passages import ANCHOR_BUCKET, MAX_EXTEND, MIN_SPAN
+    constant (bucket 256, extend 1024, min_span 40, shift support 3,
+    min_shared/max_df) mirrors operators/passages.py."""
+    from .operators.passages import (
+        ANCHOR_BUCKET,
+        MAX_EXTEND,
+        MIN_SHIFT_SUPPORT,
+        MIN_SPAN,
+    )
     from .queries_text import sql_winnow_fingerprint
 
     inj = f"""(SELECT doc_id,
@@ -583,9 +592,14 @@ cand2 AS (
   SELECT doc_a, doc_b, pos_a - pos_b AS shift,
          pos_b // {ANCHOR_BUCKET} AS bkt, pos_b
   FROM cand JOIN prs USING (doc_a, doc_b)),
+sup AS (
+  SELECT doc_a, doc_b, shift FROM cand2
+  GROUP BY doc_a, doc_b, shift
+  HAVING COUNT(*) >= {MIN_SHIFT_SUPPORT}),
 anch AS (
   SELECT doc_a, doc_b, MIN(pos_b) + shift AS pa, MIN(pos_b) AS pb
-  FROM cand2 GROUP BY doc_a, doc_b, shift, bkt),
+  FROM cand2 JOIN sup USING (doc_a, doc_b, shift)
+  GROUP BY doc_a, doc_b, shift, bkt),
 sl AS (
   SELECT anch.doc_b AS doc_id, pb,
          substr(ta.t, pa + 1, {MAX_EXTEND}) AS sr_a,

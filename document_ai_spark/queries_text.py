@@ -331,7 +331,10 @@ def _winnow_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, poss, fps = [], [], []
         for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
             pos, fp = _winnow_np(t or "")
-            ids.append(np.full(len(pos), doc_id, np.int64))
+            # dtype=object keeps the id type-generic (long doc_ids from
+            # the documents table, string urls from extracted tables);
+            # Arrow casts to the declared per-input schema
+            ids.append(np.full(len(pos), doc_id, dtype=object))
             poss.append(pos)
             fps.append(fp)
         yield pd.DataFrame(
@@ -345,8 +348,9 @@ def _winnow_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def winnow_fingerprints_df(d: DataFrame) -> DataFrame:
     """(doc_id, text, ...) -> (doc_id, pos, fingerprint) winnowed rows —
-    the reusable form (q_winnow_fingerprint and the shared-passages
-    suite branch both build on it)."""
+    the reusable form (q_winnow_fingerprint and the shared-passages /
+    passage-excision suite branches build on it). doc_id keeps the
+    input's type (r5: url-keyed extracted tables excise too)."""
     # normalize with SQL expressions so both engines share one regex policy
     norm = d.select(
         "doc_id",
@@ -355,7 +359,12 @@ def winnow_fingerprints_df(d: DataFrame) -> DataFrame:
             1, 1 << _POS_BITS,
         ).alias("t"),
     )
-    return norm.mapInPandas(_winnow_batches, schema=_WINNOW_SCHEMA)
+    id_type = d.schema["doc_id"].dataType
+    schema = T.StructType(
+        [T.StructField("doc_id", id_type)]
+        + [f for f in _WINNOW_SCHEMA.fields[1:]]
+    )
+    return norm.mapInPandas(_winnow_batches, schema=schema)
 
 
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,6 +74,80 @@ def test_pipeline_clf_rule(spark, pages_dir, tmp_path):
     assert kept_clf <= base["stages"]["curate"]["docs_kept"]
 
 
+def test_pipeline_excise_and_subword_units(spark, pages_dir, tmp_path):
+    """--excise + --chunk-unit subwords compose in the verb (r5): the
+    excise stage rewrites main_text to the normalized cleaned form
+    (a no-op minus normalization on this corpus — no cross-doc
+    verbatim passages), the BPE stage learns a merge table, chunks
+    carry chunk_subwords within the stream-cut budget, and packs are
+    budgeted in subwords."""
+    import re
+
+    wd = str(tmp_path / "wd_ex")
+    out = str(tmp_path / "shards_ex")
+    budget = 48
+    summary = run_pipeline(
+        spark, pages_dir, wd, out, rules=RULES,
+        chunk_words=budget, chunk_overlap=0, n_shards=4,
+        shards_per_commit=2, excise=True, chunk_unit="subwords",
+        pack_words=256,
+    )
+    ex = summary["stages"]["excise"]
+    assert not ex["skipped"]
+    # the datagen corpus genuinely shares the odd verbatim template
+    # sentence, so a handful of excisions is correct behavior
+    assert ex["docs_excised"] <= 5
+    assert summary["stages"]["bpe"]["n_merges"] > 0
+    curated = {
+        r.url: r.main_text
+        for r in spark.read.parquet(
+            os.path.join(wd, "curated")).collect()
+    }
+    exrows = spark.read.parquet(os.path.join(wd, "excised")).collect()
+    excised = {r.url: r.main_text for r in exrows}
+    assert set(excised) == set(curated)
+    for r in exrows:
+        norm = re.sub(r"\s+", " ", curated[r.url].strip()).lower()
+        if r.n_spans == 0:
+            assert r.main_text == norm
+        else:
+            assert len(r.main_text) == len(norm) - r.chars_removed
+            assert r.main_text != norm
+    chunks = spark.read.parquet(os.path.join(wd, "chunks")).collect()
+    # bounded overflow: a word's piece count never exceeds its char
+    # count, so budget + widest-word-chars - 1 bounds every chunk
+    widest_chars = max(
+        len(w) for t in excised.values() for w in t.split(" ")
+    )
+    assert all(
+        r.chunk_subwords <= budget + widest_chars - 1 for r in chunks
+    )
+    # export carries the subword meta and the pack identity
+    shard = [
+        os.path.join(out, n) for n in os.listdir(out)
+        if n.endswith(".jsonl.gz")
+    ]
+    rec = spark.read.json(shard).first()
+    assert rec.meta.chunk_subwords is not None
+    assert rec.meta.pack_no is not None
+    # resume: re-run skips every stage including excise
+    again = run_pipeline(
+        spark, pages_dir, wd, out, rules=RULES,
+        chunk_words=budget, chunk_overlap=0, n_shards=4,
+        shards_per_commit=2, excise=True, chunk_unit="subwords",
+        pack_words=256,
+    )
+    assert again["stages"]["excise"]["skipped"]
+    assert again["stages"]["chunk"]["skipped"]
+    # validation: subword budgets refuse an overlap
+    with pytest.raises(ValueError):
+        run_pipeline(
+            spark, pages_dir, str(tmp_path / "wd_bad"),
+            str(tmp_path / "out_bad"), rules=RULES,
+            chunk_overlap=8, chunk_unit="subwords",
+        )
+
+
 def test_pipeline_end_to_end(spark, pages_dir, tmp_path):
     wd = str(tmp_path / "wd")
     out = str(tmp_path / "shards")
