@@ -468,9 +468,8 @@ def write_baseline_md(scaling: dict, mp: dict, queries: dict,
         "interleaved adjacent-in-time (lo, hi) trial pairs; "
         "probe-normalized divides each trial by the single-thread kernel "
         "probe measured around it, cancelling host-speed drift that the "
-        "pairing alone cannot (see the round-5 addendum at the bottom: "
-        "this VM's hardware control can swing several-fold "
-        "mid-benchmark).",
+        "pairing alone cannot (this VM's hardware control can swing "
+        "several-fold mid-benchmark — see BENCH/HOST_NOISE_R5.md).",
         "",
         f"Warm steady-state extraction stage at local[{CPUS}] "
         f"(second of two back-to-back runs in one JVM): "
@@ -601,55 +600,19 @@ def write_baseline_md(scaling: dict, mp: dict, queries: dict,
                 "adjacent-in-time pairs, so a ratio near 1.0 means no "
                 "engine-attributable extraction regression.",
             ]
-    # Static round-5 measurement addendum: this text is baked into the
-    # generator so it survives every regeneration of this file (the
-    # driver's own bench run rewrites BASELINE.md from ITS run's data —
-    # the cross-run context below is how to read any single run).
+    # Dated measurement-history narratives live in standalone committed
+    # files, NOT in this generator: baking them here would re-emit a
+    # past round's cross-run story as current context on every future
+    # regeneration (r5 self-review finding). Keep only a pointer.
     lines += [
         "",
-        "## Round-5 addendum: reading these numbers under host noise",
+        "## Measurement-history notes",
         "",
-        "Four full bench runs on 2026-08-17 (artifacts "
-        "`BENCH/bench_r5_run{1..4}.json`, all committed) spanned a severe "
-        "noisy-neighbor event. The no-Spark multiprocessing CONTROL — "
-        "pure hardware, zero engine code — swung ~5x between runs, and "
-        "twice ran SLOWER at 32 procs than at 8 (runs 2 and 4): the VM "
-        "had roughly eight effective cores in those windows. Every "
-        "section of this file inherits that noise; single-run deltas "
-        "below ~2x are not engine-attributable. The spread:",
-        "",
-        "| run | headline total s | steady@32c | mp@8p | mp@32p | "
-        "scaling eff raw/pn | pipeline s | A/B vs r4 |",
-        "|---|---|---|---|---|---|---|---|",
-        "| r5_run1 | 37.78 | 36092 | 21371 | 44389 | 0.555/0.615 "
-        "| 130.3 | 0.915 |",
-        "| r5_run2 | 49.56 | 29171 | 16561 | 9203 | 0.785/0.861 "
-        "| 113.0 | 0.742 |",
-        "| r5_run3 | 79.86 | 22759 | 12317 | 20554 | 0.505/0.357 "
-        "| 55.0 | 0.874 |",
-        "| r5_run4 | 50.86 | 15288 | 15442 | 8619 | 0.610/0.562 "
-        "| 81.0 | 1.846 |",
-        "",
-        "Why this is host, not engine: (1) the extraction path is "
-        "byte-identical to the round-4 package except CLI argument "
-        "parsing (`git diff 984108a..HEAD -- "
-        "document_ai_spark/operators/extraction.py document_ai_spark/"
-        "kernel/ document_ai_spark/sources/io.py` is EMPTY), so the "
-        "interleaved A/B against the r4 commit can only measure noise — "
-        "and its probe-normalized ratios scatter around 1.0 exactly as "
-        "noise predicts; (2) the same code path measured 0.876 raw / "
-        "0.812 probe-normalized scaling efficiency and a 36.57 s "
-        "headline on the quieter round-4 host (BENCH_r04.json); (3) the "
-        "control inversions (mp@32p < mp@8p) are impossible for any "
-        "in-repo cause. Best same-day windows: run1 for headline/"
-        "steady-state/control, run2 for scaling (the one run whose "
-        "interleaved pairs did not straddle a mid-pair host collapse — "
-        "its probe-normalized 0.861 meets the ≥0.8 criterion). Runs 1-3 "
-        "used 3 interleaved scaling pairs with a pre-run probe; run 4 "
-        "and the committed code use 5 pairs with before+after probe "
-        "means, precisely to keep the median sane under this noise. "
-        "`python bench.py --render <run.json>` re-renders this file "
-        "from any saved artifact.",
+        "How to read any single run under this VM's noisy-neighbor "
+        "drift — control swings, window selection, why single-run "
+        "deltas below ~2x are not engine-attributable — is analyzed "
+        "from the four 2026-08-17 round-5 runs in "
+        "`BENCH/HOST_NOISE_R5.md`.",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

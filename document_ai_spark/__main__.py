@@ -319,9 +319,9 @@ def cmd_curate(args) -> int:
     if "neardup" in rules:
         out["after_neardup"] = row.after_neardup
     if "lm" in rules:
-        out["after_lang"] = row.after_lang
+        out["into_lm"] = row.into_lm
     if "clf" in rules:
-        out["after_lm"] = row.after_lm
+        out["into_clf"] = row.into_clf
     print(json.dumps(out))
     return 0
 

@@ -242,7 +242,11 @@ def funnel_counts(flags: DataFrame) -> DataFrame:
     Stage order: exact dedup -> near-dup cluster keeper (when the
     pass_neardup column is present) -> quality -> gopher -> language ->
     LM bucket -> learned classifier (each optional stage appears only
-    when its flag column is present)."""
+    when its flag column is present). The LM and classifier stages
+    additionally report the count ENTERING them (`into_lm`/`into_clf`)
+    — named for the stage they feed, not for whichever optional stage
+    happens to precede them (a funnel with clf but no lm would
+    otherwise print a phantom LM rung)."""
     has_nd = "pass_neardup" in flags.columns
     has_lang = "pass_lang" in flags.columns
     has_lm = "pass_lm" in flags.columns
@@ -269,9 +273,9 @@ def funnel_counts(flags: DataFrame) -> DataFrame:
         F.sum(after_gopher.cast("long")).alias("after_gopher"),
     ]
     if has_lm:
-        aggs.append(F.sum(after_lang.cast("long")).alias("after_lang"))
+        aggs.append(F.sum(after_lang.cast("long")).alias("into_lm"))
     if has_clf:
-        aggs.append(F.sum(after_lm.cast("long")).alias("after_lm"))
+        aggs.append(F.sum(after_lm.cast("long")).alias("into_clf"))
     aggs += [
         F.sum(kept.cast("long")).alias("kept"),
         F.sum(F.when(kept, F.col("n_tokens"))).alias("kept_tokens"),

@@ -88,12 +88,18 @@ MIN_SHIFT_SUPPORT = 3
 
 def _norm_text(text_col: str = "text") -> F.Column:
     """The winnowing normalization (queries_text spec) — spans index
-    into THIS string."""
+    into THIS string. The truncation cap is 1 << _POS_BITS by
+    CONSTRUCTION: winnowing positions are packed into the low
+    _POS_BITS of the (hash, pos) key, so any position that survives
+    packing must also index into this slice — sharing the constant
+    keeps the two spaces synchronized if the key layout ever changes."""
+    from ..queries_text import _POS_BITS
+
     return F.substring(
         F.lower(
             F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
         ),
-        1, 1 << 24,
+        1, 1 << _POS_BITS,
     )
 
 

@@ -67,8 +67,11 @@ def lm_quality_scores(
     — on Zipf-shaped web text the threshold lands in the hapax mass
     and the cut keeps exactly the words that actually repeat. Cut
     words score as OOV (the smoothed floor), exactly what a bounded
-    reference LM does. Pass None only when the vocabulary is known to
-    be broadcast-sized.
+    reference LM does. If the strict cut would empty the model (the
+    whole vocabulary ties at one count — e.g. all hapax), it falls
+    back to the deterministic top-N cut instead of null-scoring the
+    corpus. Pass None only when the vocabulary is known to be
+    broadcast-sized.
 
     `bucket_mode` picks the percentile machinery:
       - 'approx' (default): percentile_approx cuts — one aggregate, no
@@ -98,7 +101,19 @@ def lm_quality_scores(
                     ).alias("_t")
                 ).first()["_t"]
             )
-            vocab = vocab.filter(F.col("count") > cut)
+            kept_vocab = vocab.filter(F.col("count") > cut)
+            if kept_vocab.isEmpty():
+                # degenerate tie at the quantile: when counts cluster at
+                # one value (e.g. an all-hapax vocabulary, common for
+                # id-/hash-heavy text), the strict cut would empty the
+                # model — every word would score NULL and the `lm` rule
+                # would drop the ENTIRE corpus. Fall back to the
+                # deterministic top-N cut for this rare case; the
+                # driver merge it costs is bounded by max_vocab.
+                kept_vocab = vocab.orderBy(
+                    F.col("count").desc(), "word"
+                ).limit(max_vocab)
+            vocab = kept_vocab
     totals = vocab.agg(
         F.sum("count").alias("_n"), F.count(F.lit(1)).alias("_v")
     )

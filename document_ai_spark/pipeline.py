@@ -37,20 +37,37 @@ def _committed(path: str) -> bool:
 
 
 def _parquet_rows(path: str) -> int:
-    """Exact row count of a parquet dir from file FOOTERS — a
-    driver-side metadata read, no Spark job (r4 verdict item: the
+    """Exact row count of a parquet dir/file/glob from file FOOTERS —
+    a driver-side metadata read, no Spark job (r4 verdict item: the
     summary counts were extra actions re-scanning stage outputs and,
-    for the curate stage, re-running the collapse window)."""
+    for the curate stage, re-running the collapse window).
+
+    Must mirror the Spark reader's path semantics: '_'/'.'-prefixed
+    entries are metadata, not data — the extract stage keeps its
+    lineage bookkeeping parquet under `extracted/_lineage/`, so a
+    naive walk would count one phantom row per shard per commit
+    (compact.table_file_stats makes the same skip)."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
 
-    n = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                n += pq.ParquetFile(
-                    os.path.join(root, f)
-                ).metadata.num_rows
-    return n
+    if os.path.isfile(path):
+        files = [path]
+    elif os.path.isdir(path):
+        files = []
+        for root, dirs, names in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            files += [
+                os.path.join(root, f)
+                for f in names
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+    else:  # glob pattern (spark.read.parquet accepts those too)
+        files = [
+            p for p in _glob.glob(path)
+            if p.endswith(".parquet") and os.path.isfile(p)
+        ]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def _sub(workdir: str, name: str) -> str:
@@ -351,18 +368,25 @@ def run_pipeline(
         text_src = excised_dir
 
     # ---- 4c. optional subword budgets: learn the deterministic BPE
-    # merge table from the kept corpus (bounded fit, driver loop) ----
+    # merge table from the kept corpus (bounded fit, driver loop).
+    # `merges` is consumed ONLY by the chunk stage (packing budgets in
+    # the already-materialized chunk_subwords column), so a resume with
+    # the chunk stage committed skips the full corpus scan the fit
+    # costs ----
     merges = None
+    chunks_dir = _sub(workdir, "chunks")
     if chunk_unit == "subwords":
-        from .functions.subword import learn_bpe
+        if _committed(chunks_dir):
+            summary["stages"]["bpe"] = {"skipped": True}
+        else:
+            from .functions.subword import learn_bpe
 
-        merges = learn_bpe(
-            spark.read.parquet(text_src), text_col="main_text"
-        )
-        summary["stages"]["bpe"] = {"n_merges": len(merges)}
+            merges = learn_bpe(
+                spark.read.parquet(text_src), text_col="main_text"
+            )
+            summary["stages"]["bpe"] = {"n_merges": len(merges)}
 
     # ---- 5. chunk: training windows over the kept text ----
-    chunks_dir = _sub(workdir, "chunks")
     if _committed(chunks_dir):
         summary["stages"]["chunk"] = {"skipped": True}
     else:

@@ -559,7 +559,7 @@ def _sql_passage_excision() -> str:
         MIN_SHIFT_SUPPORT,
         MIN_SPAN,
     )
-    from .queries_text import sql_winnow_fingerprint
+    from .queries_text import _POS_BITS, sql_winnow_fingerprint
 
     inj = f"""(SELECT doc_id,
        text || CASE WHEN doc_id % 40 = 3
@@ -572,7 +572,7 @@ def _sql_passage_excision() -> str:
 WITH nrm AS (
   SELECT doc_id,
          substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
-                1, {1 << 24}) AS t
+                1, {1 << _POS_BITS}) AS t
   FROM {inj}),
 fp AS ({sql_winnow_fingerprint(inj)}),
 fpm AS (SELECT doc_id, fingerprint, MIN(pos) AS pos

@@ -190,7 +190,7 @@ def test_curate_cli_lm_rule(spark, corpus_dir, tmp_path, capsys):
     # the ladder bottoms out at 0); `written` reflects the SELECTED
     # rules dedup AND quality AND lm
     assert (res["total_docs"] >= res["after_dedup"]
-            >= res["after_quality"] >= res["after_lang"] >= res["kept"])
+            >= res["after_quality"] >= res["into_lm"] >= res["kept"])
     assert res["written"] > 0
     assert spark.read.parquet(out).count() == res["written"]
     # the lm stage dropped a real tail: strictly fewer docs than

@@ -95,7 +95,7 @@ def test_clf_flags_bootstrap_and_funnel_rule(spark, corpora):
     """The 'clf' curation rule (r5): with no reference labels,
     clf_flags bootstraps positives/negatives from the heuristic rule
     packs, and the learned filter agrees with the planted split; the
-    funnel gains an after_lm rung when pass_clf is present."""
+    funnel gains an into_clf rung when pass_clf is present."""
     from document_ai_spark.operators.curate import (
         clf_flags,
         curation_flags,
@@ -115,7 +115,7 @@ def test_clf_flags_bootstrap_and_funnel_rule(spark, corpora):
     assert pos_keep > 0.9, pos_keep
     assert neg_keep < 0.1, neg_keep
     row = funnel_counts(flags).collect()[0]
-    assert row.after_lm >= row.kept
+    assert row.into_clf >= row.kept
     assert row.kept <= 160  # the junk side is filtered
 
 
