@@ -268,13 +268,19 @@ def run_pipeline(
         summary["stages"]["curate"] = {"skipped": True}
     else:
         t0 = time.time()
-        from .operators.curate import collapse_recrawls
+        from .operators.curate import adaptive_collapse
 
         # re-crawled urls (a WARC can carry the same url twice) collapse
         # to the NEWEST crawl row before curation — duplicate url rows
         # would otherwise sail through the url-keyed exact-dedup flag and
-        # double every downstream chunk via the chunk<->warc_ts join
-        extracted = collapse_recrawls(spark.read.parquet(extracted_dir))
+        # double every downstream chunk via the chunk<->warc_ts join.
+        # adaptive_collapse skips the window for url-unique inputs and
+        # materializes it ONCE (workdir/collapsed) otherwise — see its
+        # docstring for the measured per-consumer recompute cost.
+        docs_in = _parquet_rows(extracted_dir)
+        extracted, collapse_mode = adaptive_collapse(
+            spark, extracted_dir, _sub(workdir, "collapsed")
+        )
         flags = curation_flags(
             extracted, id_col="url", text_col="main_text", lang_col=None
         )
@@ -321,7 +327,8 @@ def run_pipeline(
         summary["stages"]["curate"] = {
             "skipped": False,
             "rules": list(rules),
-            "docs_in": _parquet_rows(extracted_dir),
+            "collapse": collapse_mode,
+            "docs_in": docs_in,
             "docs_kept": _parquet_rows(curated_dir),
         }
         _timed("curate", t0)

@@ -67,10 +67,18 @@ def minhash_band_pairs(df, id_col: str = "doc_id",
         )
     ids = df.select(F.col(id_col).alias("_id"),
                     F.col(text_col).alias("text"))
-    sh = (
-        ids.withColumn("words", _norm_words())
-        .select("_id", F.explode(_shingles(F.col("words"))).alias("shingle"))
-        .distinct()
+    # dedup shingles PER DOC (array_distinct) before exploding: the
+    # min() signature is identical over a multiset or its distinct set,
+    # and the per-doc form deletes what used to be a full shuffle of
+    # raw shingle text (a global .distinct() on the exploded rows) —
+    # at corpus scale that shuffle moves ~W x corpus bytes for zero
+    # information. The groupBy below then map-side-combines straight
+    # off the scan: only 8 minima per doc cross the wire.
+    sh = ids.withColumn("words", _norm_words()).select(
+        "_id",
+        F.explode(
+            F.array_distinct(_shingles(F.col("words")))
+        ).alias("shingle"),
     )
     aggs = [
         F.min(

@@ -119,10 +119,18 @@ FROM aug
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # materialize `words` once per row — inlining the split() inside the
-    # transform() lambda re-evaluates it per element (O(words^2) per doc)
+    # transform() lambda re-evaluates it per element (O(words^2) per doc).
+    # Shingles dedup PER DOC (array_distinct) instead of a global
+    # .distinct() on the exploded rows: MIN() is identical over a
+    # multiset, and the per-doc form removes a full shuffle of raw
+    # shingle text — the groupBy map-side-combines off the scan (same
+    # change as queries_base.minhash_band_pairs; oracle unchanged)
     sh = d.withColumn("words", _norm_words()).select(
-        "doc_id", F.explode(_shingles(F.col("words"))).alias("shingle")
-    ).distinct()
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(F.col("words")))).alias(
+            "shingle"
+        ),
+    )
     aggs = [
         F.min(F.md5(F.encode(F.concat_ws(":", F.lit(str(j)), "shingle"),
                              "UTF-8"))).alias(f"mh_{j}")

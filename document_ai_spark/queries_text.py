@@ -185,12 +185,21 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-k (k=5) document fingerprint over shingle hashes, as a joined
     string (engine-portable)."""
     d = _t(spark, sf_dir, "documents")
+    # dedup PER DOC (array_distinct), never globally: collect_set below
+    # already dedups map-side inside the partial aggregate, so the old
+    # `.distinct()` on the exploded (doc_id, md5) rows was a second full
+    # shuffle of the same data for zero information (r5, same cut as
+    # queries_base.minhash_band_pairs); array_distinct just saves the
+    # md5 work on repeated shingles
     sh = d.withColumn("words", _norm_words()).select(
-        "doc_id", F.explode(_shingles(F.col("words"))).alias("shingle")
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(F.col("words")))).alias(
+            "shingle"
+        ),
     )
     hashed = sh.select(
         "doc_id", F.md5(F.encode("shingle", "UTF-8")).alias("h")
-    ).distinct()
+    )
     return hashed.groupBy("doc_id").agg(
         F.concat_ws(
             ",", F.slice(F.array_sort(F.collect_set("h")), 1, 5)
