@@ -745,25 +745,54 @@ def salting_pathology(corpus: str) -> dict:
     return out
 
 
-def render_from_json(path: str) -> int:
+def render_from_json(path: str, scaling_from: str | None = None) -> int:
     """Re-render BENCH/BASELINE.md from a saved bench-run artifact —
     no benching. Lets the committed BASELINE.md present the most
     internally-coherent run of a noisy day while keeping every run's
-    JSON as the auditable record."""
+    JSON as the auditable record. `scaling_from` optionally overlays
+    the scaling-pair keys from a --scaling-only artifact (its dict has
+    no steady-state/salting keys, so those stay from the base run)."""
     with open(path) as f:
         d = json.load(f)
+    scaling = d["extraction_scaling"]
+    if scaling_from is not None:
+        with open(scaling_from) as f:
+            scaling.update(json.load(f)["extraction_scaling"])
     write_baseline_md(
-        d["extraction_scaling"], d["mp_control"], d["queries"],
+        scaling, d["mp_control"], d["queries"],
         d["sf"], pipe=d.get("pipeline_sf01_sec"),
         ab=d.get("ab_vs_prev_round"),
     )
-    print(f"BASELINE.md rendered from {path}")
+    src = path if scaling_from is None else f"{path} + scaling from {scaling_from}"
+    print(f"BASELINE.md rendered from {src}")
+    return 0
+
+
+def scaling_only(out_path: str) -> int:
+    """Run ONLY the interleaved N->4N scaling section and save its dict.
+    The scaling pair is the section most easily poisoned by host noise
+    (a dip inside one ~3-minute pair skews that pair's ratio); this
+    mode makes a retry ~5x cheaper than a full bench so a quiet window
+    can be captured when the probe says the host is calm. Merge into a
+    full artifact at render time via --render <full.json> --scaling-from
+    <this output>."""
+    corpus = ensure_corpus(BENCH_DOCS)
+    scaling = run_scaling(corpus)
+    payload = {"extraction_scaling": scaling}
+    with open(out_path, "w") as f:
+        json.dump(payload, f)
+    print(json.dumps(payload))
     return 0
 
 
 def main() -> int:
-    if len(sys.argv) == 3 and sys.argv[1] == "--render":
-        return render_from_json(sys.argv[2])
+    if len(sys.argv) >= 3 and sys.argv[1] == "--render":
+        scaling_from = None
+        if len(sys.argv) == 5 and sys.argv[3] == "--scaling-from":
+            scaling_from = sys.argv[4]
+        return render_from_json(sys.argv[2], scaling_from)
+    if len(sys.argv) == 3 and sys.argv[1] == "--scaling-only":
+        return scaling_only(sys.argv[2])
     import __spark_entry__ as entrymod
     from document_ai_spark.session import get_spark
 

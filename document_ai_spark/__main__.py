@@ -118,20 +118,31 @@ def cmd_extract(args) -> int:
 
         _shutil.rmtree(staged_pages, ignore_errors=True)
     print(f"[extract] job done at +{time.time() - t0:.1f}s", file=sys.stderr)
-    # totals from the lineage table (tiny) — no extra scan of the output;
-    # latest lineage row per shard wins (a shard redone after a crash may
-    # have appended twice)
-    lin = spark.read.parquet(f"{args.output.rstrip('/')}/_lineage")
-    latest = lin.groupBy("shard_id").agg(
-        F.max_by(
-            F.struct("docs", "bytes", "parse_failures"), F.col("finished_ts")
-        ).alias("s")
-    )
-    stats = latest.agg(
-        F.sum("s.docs").alias("docs"),
-        F.sum("s.bytes").alias("bytes"),
-        F.sum("s.parse_failures").alias("parse_failures"),
-    ).collect()[0]
+    if summary["shards_done_prior"] == 0:
+        # fresh run: this run's observed totals ARE the table totals — no
+        # lineage read-back job needed
+        from types import SimpleNamespace
+
+        stats = SimpleNamespace(
+            docs=summary["docs"], bytes=summary["bytes"],
+            parse_failures=summary["parse_failures"],
+        )
+    else:
+        # resumed run: totals from the lineage table (tiny) — no extra
+        # scan of the output; latest lineage row per shard wins (a shard
+        # redone after a crash may have appended twice)
+        lin = spark.read.parquet(f"{args.output.rstrip('/')}/_lineage")
+        latest = lin.groupBy("shard_id").agg(
+            F.max_by(
+                F.struct("docs", "bytes", "parse_failures"),
+                F.col("finished_ts"),
+            ).alias("s")
+        )
+        stats = latest.agg(
+            F.sum("s.docs").alias("docs"),
+            F.sum("s.bytes").alias("bytes"),
+            F.sum("s.parse_failures").alias("parse_failures"),
+        ).collect()[0]
     wall = time.time() - t0
     print(
         json.dumps(
