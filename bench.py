@@ -430,6 +430,39 @@ def pipeline_bench(spark, corpus: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def window_quality(scaling: dict, mp: dict | None = None) -> dict:
+    """Objective host-window quality for one scaling measurement, so any
+    consumer of a bench artifact can judge it without the narrative:
+    ratio of fastest to slowest low-width trial (noise that hits
+    multicore CAPACITY shows up here while single-thread probes stay
+    flat), probe spread, and whether the no-Spark MP control ran slower
+    wide than narrow (impossible for any in-repo cause)."""
+    trials = scaling.get("trials_docs_per_sec") or {}
+    probes = scaling.get("cpu_probe_docs_per_sec") or []
+    lo_key = min(trials, key=int) if trials else None
+    q: dict = {}
+    if lo_key and min(trials[lo_key]) > 0:
+        q["trial_spread_lo"] = round(
+            max(trials[lo_key]) / min(trials[lo_key]), 2
+        )
+    if probes and min(probes) > 0:
+        q["probe_spread"] = round(max(probes) / min(probes), 2)
+    if mp:
+        w = [k for k in mp if k.startswith("mp_docs_per_sec@")]
+        if len(w) >= 2:
+            widths = sorted(int(k.split("@")[1][:-1]) for k in w)
+            # meaningful inversion only: a wide control >=10% slower
+            # than the next width down (a few % is ordinary jitter)
+            q["mp_inverted"] = (
+                mp[f"mp_docs_per_sec@{widths[-1]}p"]
+                < 0.9 * mp[f"mp_docs_per_sec@{widths[-2]}p"]
+            )
+    q["noisy"] = bool(
+        q.get("trial_spread_lo", 1.0) > 1.5 or q.get("mp_inverted")
+    )
+    return q
+
+
 def write_baseline_md(scaling: dict, mp: dict, queries: dict,
                       sf: str, pipe: dict | None = None,
                       ab: dict | None = None) -> None:
@@ -471,6 +504,21 @@ def write_baseline_md(scaling: dict, mp: dict, queries: dict,
         "pairing alone cannot (this VM's hardware control can swing "
         "several-fold mid-benchmark — see BENCH/HOST_NOISE_R5.md).",
         "",
+    ]
+    wq = window_quality(scaling, mp)
+    if wq.get("noisy"):
+        lines += [
+            f"**NOTE: this run's own window-quality metrics flag a noisy "
+            f"host window** (low-width trial spread "
+            f"{wq.get('trial_spread_lo')}x, MP control inverted: "
+            f"{wq.get('mp_inverted')}) — the numbers above understate the "
+            "engine. Prefer re-rendering from a clean-window artifact: "
+            "`python bench.py --render <run.json> "
+            "[--scaling-from <scaling.json>]` (see BENCH/HOST_NOISE_R5.md "
+            "for artifact provenance).",
+            "",
+        ]
+    lines += [
         f"Warm steady-state extraction stage at local[{CPUS}] "
         f"(second of two back-to-back runs in one JVM): "
         f"**{scaling.get(steady_key)} docs/s** — the amortized rate once "
@@ -778,6 +826,7 @@ def scaling_only(out_path: str) -> int:
     <this output>."""
     corpus = ensure_corpus(BENCH_DOCS)
     scaling = run_scaling(corpus)
+    scaling["window_quality"] = window_quality(scaling)
     payload = {"extraction_scaling": scaling}
     with open(out_path, "w") as f:
         json.dump(payload, f)
@@ -828,6 +877,7 @@ def main() -> int:
     print(f"[bench] steady state done +{time.time()-t_start:.0f}s",
           file=sys.stderr)
     scaling.update(steady)
+    scaling["window_quality"] = window_quality(scaling, mp)
     scaling["salting_pathology"] = salting_pathology(corpus)
     print(f"[bench] salting pathology done +{time.time()-t_start:.0f}s",
           file=sys.stderr)
