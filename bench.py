@@ -835,11 +835,20 @@ def scaling_only(out_path: str) -> int:
 
 
 def main() -> int:
-    if len(sys.argv) >= 3 and sys.argv[1] == "--render":
-        scaling_from = None
+    if len(sys.argv) >= 2 and sys.argv[1] == "--render":
+        # strict: a typo'd or half-given --scaling-from must NOT fall
+        # back to a render without the overlay (it would silently
+        # publish the noisy base artifact's scaling numbers)
+        if len(sys.argv) == 3:
+            return render_from_json(sys.argv[2])
         if len(sys.argv) == 5 and sys.argv[3] == "--scaling-from":
-            scaling_from = sys.argv[4]
-        return render_from_json(sys.argv[2], scaling_from)
+            return render_from_json(sys.argv[2], sys.argv[4])
+        print(
+            "usage: bench.py --render <run.json> "
+            "[--scaling-from <scaling.json>]",
+            file=sys.stderr,
+        )
+        return 2
     if len(sys.argv) == 3 and sys.argv[1] == "--scaling-only":
         return scaling_only(sys.argv[2])
     import __spark_entry__ as entrymod

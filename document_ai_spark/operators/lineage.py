@@ -71,6 +71,18 @@ def done_shards(spark: SparkSession, out_dir: str) -> set[int]:
     return {r.shard_id for r in rows}
 
 
+def _local_fs_path(path: str) -> bool:
+    """True when `path` is a plain local-filesystem directory path the
+    driver can touch directly with pyarrow/os: it contains a '/' (an
+    Iceberg table identifier does not) and carries no scheme (hdfs://,
+    s3a://, ... go through Spark). ONE definition shared by every
+    driver-direct fast path in this module — two hand-copied negations
+    of this predicate would eventually diverge."""
+    from urllib.parse import urlparse
+
+    return "/" in path and urlparse(path).scheme == ""
+
+
 def _append_lineage_rows(spark, rows, schema, path: str) -> None:
     """Append a handful of lineage rows. Parquet layout: one uniquely-named
     file written directly from the driver (atomic visibility via the same
@@ -79,9 +91,7 @@ def _append_lineage_rows(spark, rows, schema, path: str) -> None:
     overhead per commit for no benefit. Iceberg targets (no '/') and remote
     filesystem URIs (hdfs://, s3a://, ...) go through the Spark writer —
     the driver-direct pyarrow fast path only works on the local FS."""
-    from urllib.parse import urlparse
-
-    if "/" not in path or urlparse(path).scheme != "":
+    if not _local_fs_path(path):
         append_rows(spark.createDataFrame(rows, schema=schema), path)
         return
     import os
@@ -134,11 +144,14 @@ def _chunk_shard_stats(
     later pyspark.ml model closure in the session (LogisticRegression
     summaries capture the SparkSession) — probed on Spark 4.1, see the
     r5 test pair test_pipeline -> test_quality_clf."""
-    from urllib.parse import urlparse
+    import os
 
-    if "/" in out_dir and urlparse(out_dir).scheme == "":
-        import os
-
+    # the isdir(out_dir) guard matters on clusters where
+    # fs.defaultFS is remote: a scheme-less '/data/extracted' LOOKS
+    # local but the committed files live on HDFS — the table dir won't
+    # exist on the driver's disk, so fall through to the Spark
+    # read-back instead of recording all-zero counts
+    if _local_fs_path(out_dir) and os.path.isdir(out_dir):
         import pyarrow.compute as pc
         import pyarrow.dataset as pda
 
@@ -161,8 +174,15 @@ def _chunk_shard_stats(
                 int(fails),
             )
         return stats
+    # Iceberg table identifiers (no '/') read back via the catalog —
+    # matching write_extracted's writeTo() commit; everything else is a
+    # filesystem parquet table
+    committed = (
+        spark.read.table(out_dir) if "/" not in out_dir
+        else spark.read.parquet(out_dir)
+    )
     rows = (
-        spark.read.parquet(out_dir)
+        committed
         .filter(F.col("shard_id").isin(chunk))
         .groupBy("shard_id")
         .agg(
