@@ -317,14 +317,16 @@ def run_scaling(corpus: str) -> dict:
 AB_REF_COMMIT = "984108a"
 
 
-def ab_vs_prev_round(corpus: str) -> dict:
+def ab_vs_prev_round(corpus: str, n_pairs: int = 2) -> dict:
     """Interleaved previous-round A/B: extract the pinned r4 package
     with `git archive`, then alternate pinned extraction runs
-    ref, cur, ref, cur at the N->4N pair's hi width with a
-    single-thread probe before each run. The headline is the MEDIAN
-    probe-normalized cur/ref ratio — any engine-attributable
+    ref, cur, ref, cur, ... (`n_pairs` pairs) at the N->4N pair's hi
+    width with a single-thread probe before each run. The headline is
+    the MEDIAN probe-normalized cur/ref ratio — any engine-attributable
     extraction regression shows as a ratio well below 1.0 regardless
-    of host drift."""
+    of host drift. Two pairs keep the full bench cheap; a disputed
+    ratio gets more pairs via `--ab-only` (median over 4+ pairs is
+    robust to one noisy trial in a way 2 pairs cannot be)."""
     import shutil
     from statistics import median
 
@@ -350,7 +352,7 @@ def ab_vs_prev_round(corpus: str) -> dict:
         cores = SCALE_CORES[1]
         runs: dict = {"ref": [], "cur": []}
         probes: dict = {"ref": [], "cur": []}
-        for i, side in enumerate(("ref", "cur", "ref", "cur")):
+        for i, side in enumerate(("ref", "cur") * n_pairs):
             probes[side].append(_cpu_probe(corpus))
             zpath = ref_zip if side == "ref" else cur_zip
             script = ref_script if side == "ref" else None
@@ -793,25 +795,39 @@ def salting_pathology(corpus: str) -> dict:
     return out
 
 
-def render_from_json(path: str, scaling_from: str | None = None) -> int:
+def render_from_json(path: str, scaling_from: str | None = None,
+                     ab_from: str | None = None,
+                     pipeline_from: str | None = None) -> int:
     """Re-render BENCH/BASELINE.md from a saved bench-run artifact —
     no benching. Lets the committed BASELINE.md present the most
     internally-coherent run of a noisy day while keeping every run's
     JSON as the auditable record. `scaling_from` optionally overlays
     the scaling-pair keys from a --scaling-only artifact (its dict has
-    no steady-state/salting keys, so those stay from the base run)."""
+    no steady-state/salting keys, so those stay from the base run);
+    `ab_from` replaces the previous-round A/B section from an
+    --ab-only artifact (typically one with more interleaved pairs)."""
     with open(path) as f:
         d = json.load(f)
     scaling = d["extraction_scaling"]
+    src = path
     if scaling_from is not None:
         with open(scaling_from) as f:
             scaling.update(json.load(f)["extraction_scaling"])
+        src += f" + scaling from {scaling_from}"
+    ab = d.get("ab_vs_prev_round")
+    if ab_from is not None:
+        with open(ab_from) as f:
+            ab = json.load(f)["ab_vs_prev_round"]
+        src += f" + A/B from {ab_from}"
+    pipe = d.get("pipeline_sf01_sec")
+    if pipeline_from is not None:
+        with open(pipeline_from) as f:
+            pipe = json.load(f)["pipeline_sf01_sec"]
+        src += f" + pipeline from {pipeline_from}"
     write_baseline_md(
         scaling, d["mp_control"], d["queries"],
-        d["sf"], pipe=d.get("pipeline_sf01_sec"),
-        ab=d.get("ab_vs_prev_round"),
+        d["sf"], pipe=pipe, ab=ab,
     )
-    src = path if scaling_from is None else f"{path} + scaling from {scaling_from}"
     print(f"BASELINE.md rendered from {src}")
     return 0
 
@@ -834,23 +850,81 @@ def scaling_only(out_path: str) -> int:
     return 0
 
 
+def ab_only(out_path: str, n_pairs: int) -> int:
+    """Run ONLY the previous-round A/B section with `n_pairs`
+    interleaved pairs and save its dict. Same retry rationale as
+    --scaling-only: a 2-pair A/B inside a noisy full run can read far
+    from 1.0 on host drift alone; a cheap standalone rerun with more
+    pairs in a quiet window settles it, and --render --ab-from merges
+    it into the committed BASELINE.md with the full-run JSON kept as
+    the auditable record."""
+    corpus = ensure_corpus(BENCH_DOCS)
+    payload = {"ab_vs_prev_round": ab_vs_prev_round(corpus, n_pairs)}
+    with open(out_path, "w") as f:
+        json.dump(payload, f)
+    print(json.dumps(payload))
+    return 0
+
+
+def pipeline_only(out_path: str) -> int:
+    """Run ONLY the pipeline end-to-end section and save its dict —
+    the same quiet-window retry story as --scaling-only/--ab-only for
+    the composed product-path number (its curate stage is dominated by
+    one multi-job MinHash/CC pass and swings hardest under capacity
+    noise). Merge via --render ... --pipeline-from <this output>."""
+    from document_ai_spark.session import get_spark
+
+    corpus = ensure_corpus(BENCH_DOCS)
+    spark = get_spark(
+        app_name="bench-pipe", master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    payload = {"pipeline_sf01_sec": pipeline_bench(spark, corpus)}
+    spark.stop()
+    with open(out_path, "w") as f:
+        json.dump(payload, f)
+    print(json.dumps(payload))
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) >= 2 and sys.argv[1] == "--render":
-        # strict: a typo'd or half-given --scaling-from must NOT fall
+        # strict: a typo'd or half-given overlay flag must NOT fall
         # back to a render without the overlay (it would silently
-        # publish the noisy base artifact's scaling numbers)
-        if len(sys.argv) == 3:
-            return render_from_json(sys.argv[2])
-        if len(sys.argv) == 5 and sys.argv[3] == "--scaling-from":
-            return render_from_json(sys.argv[2], sys.argv[4])
+        # publish the noisy base artifact's numbers)
+        overlays = {
+            "--scaling-from": None, "--ab-from": None,
+            "--pipeline-from": None,
+        }
+        rest = sys.argv[3:]
+        ok = len(sys.argv) >= 3 and len(rest) % 2 == 0
+        for flag, val in zip(rest[::2], rest[1::2]):
+            if not ok or flag not in overlays or overlays[flag]:
+                ok = False
+                break
+            overlays[flag] = val
+        if ok:
+            return render_from_json(
+                sys.argv[2],
+                overlays["--scaling-from"], overlays["--ab-from"],
+                overlays["--pipeline-from"],
+            )
         print(
             "usage: bench.py --render <run.json> "
-            "[--scaling-from <scaling.json>]",
+            "[--scaling-from <scaling.json>] [--ab-from <ab.json>] "
+            "[--pipeline-from <pipe.json>]",
             file=sys.stderr,
         )
         return 2
     if len(sys.argv) == 3 and sys.argv[1] == "--scaling-only":
         return scaling_only(sys.argv[2])
+    if len(sys.argv) in (3, 4) and sys.argv[1] == "--ab-only":
+        return ab_only(
+            sys.argv[2],
+            int(sys.argv[3]) if len(sys.argv) == 4 else 4,
+        )
+    if len(sys.argv) == 3 and sys.argv[1] == "--pipeline-only":
+        return pipeline_only(sys.argv[2])
     import __spark_entry__ as entrymod
     from document_ai_spark.session import get_spark
 

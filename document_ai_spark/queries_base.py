@@ -105,12 +105,47 @@ def minhash_band_pairs(df, id_col: str = "doc_id",
             )
         ).alias("band_no", "band_key"),
     )
-    a = bands.select(F.col("_id").alias("doc_a"), "band_no", "band_key")
-    b2 = bands.select(F.col("_id").alias("doc_b"), "band_no", "band_key")
+    # within-bucket pairs WITHOUT a self-join: group each (band_no,
+    # band_key) bucket, collect its sorted id set, and explode the
+    # strictly-upper-triangle combinations. The aliased a/b self-join
+    # this replaces defeated Spark's exchange reuse — both join sides
+    # re-ran the whole scan->shingle->signature pipeline (measured: the
+    # join stage cost one extra full signature evaluation plus two
+    # exchanges; this form evaluates signatures ONCE and shuffles 8
+    # short band rows per doc). Sorted-array pairing makes
+    # doc_a < doc_b by construction — identical pair SET to the
+    # oracle's SQL self-join (_sql_minhash_core keeps the join form;
+    # DuckDB evaluates its CTE once). Skew note: a bucket of k docs
+    # emits its k(k-1)/2 pairs from one row — the same k^2 blowup the
+    # join form had on the same key, neither spreads a hot bucket.
+    buckets = (
+        bands.groupBy("band_no", "band_key")
+        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(b2, ["band_no", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "ids", i + F.lit(2),
+                                F.greatest(
+                                    F.size("ids") - i - F.lit(1),
+                                    F.lit(0),
+                                ),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

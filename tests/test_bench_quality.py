@@ -70,6 +70,11 @@ def test_render_rejects_malformed_scaling_from(tmp_path):
         ["--render", base, "--scaling-from"],            # missing operand
         ["--render", base, "--scaling_from", base],      # typo'd flag
         ["--render", base, "extra"],                     # stray operand
+        ["--render", base, "--ab-from"],                 # missing operand
+        ["--render", base, "--ab-from", base,
+         "--ab-from", base],                             # duplicate flag
+        ["--render", base, "--scaling-from", base,
+         "--ab_from", base],                             # typo'd 2nd flag
     ):
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), *argv],
