@@ -117,6 +117,18 @@ inlining the split would be O(words^2) per doc). The only shuffles are the
 DISTINCT and the final per-doc aggregation, both on uniformly-distributed
 keys; the 8 minhash aggregates are one partial+final hash-aggregate pass.
 """,
+        "## minhash_lsh_pairs — candidate pairs without a self-join\n",
+        "```\n" + plan(M.q_minhash_lsh_pairs(spark, sf),
+                       keep=["ReadSchema"]) + "\n```\n",
+        """**Scale notes.** ONE scan: the r5 bucket form groups each
+(band, key) bucket and explodes the sorted-id upper triangle, so the
+scan->shingle->signature pipeline runs once. The aliased band self-join
+it replaced defeated Spark's exchange reuse — the physical plan carried
+TWO full scans and re-ran the dominant stage per join side. Shuffles
+carry 8 short band rows per doc, never shingle text; a hot boilerplate
+bucket emits its k^2 pairs either way (capped upstream by banding
+parameters), so the rewrite strictly removes work.
+""",
         "## next_right_word_2d — 2-D spatial nearest join (J2)\n",
         "```\n" + plan(SP.q_next_right_word_2d(spark, sf)) + "\n```\n",
         """**Scale notes.** Word boxes are per-document; the key-box and

@@ -139,3 +139,41 @@ def test_minhash_per_doc_distinct_matches_global_distinct(spark):
         for r in minhash_band_pairs(docs).collect()
     }
     assert (1, 2) in pairs  # shared-phrase docs still collide
+
+
+def test_bucket_pair_generation_matches_join_form(spark):
+    """The r5 single-scan pair builder (band-bucket collect_set +
+    upper-triangle explode, replacing the aliased self-join that
+    re-evaluated the whole signature pipeline per side) must emit the
+    IDENTICAL pair set the join form produced, with doc_a < doc_b, on
+    string ids (the curate path is url-keyed) and bucket sizes > 2
+    (the triangle explode must cover every combination, not just
+    adjacent ids)."""
+    group = {
+        "a": ("red orange yellow green blue indigo violet crimson "
+              "amber teal magenta cyan maroon olive navy", 4),
+        "b": ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+              "sed do eiusmod tempor incididunt ut labore", 3),
+        "c": ("solo document with its very own vocabulary nothing "
+              "shared anywhere else across the corpus rows", 1),
+    }
+    rows = [
+        (f"{g}-{i:02d}", text)
+        for g, (text, k) in group.items()
+        for i in range(k)
+    ]
+    df = spark.createDataFrame(rows, "url string, body string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_band_pairs(
+            df, id_col="url", text_col="body"
+        ).collect()
+    }
+    expected = {
+        (f"{g}-{i:02d}", f"{g}-{j:02d}")
+        for g, (_, k) in group.items()
+        for i in range(k)
+        for j in range(i + 1, k)
+    }
+    assert got == expected  # 6 pairs in a, 3 in b, none for c or cross
+    assert all(x < y for x, y in got)
