@@ -151,7 +151,20 @@ def _chunk_shard_stats(
     # local but the committed files live on HDFS — the table dir won't
     # exist on the driver's disk, so fall through to the Spark
     # read-back instead of recording all-zero counts
-    if _local_fs_path(out_dir) and os.path.isdir(out_dir):
+    # a bare name ('extracted') is an Iceberg table identifier ONLY when
+    # an Iceberg catalog is actually configured — the same gating as
+    # sources/io.py's writer, which this read-back must mirror (the CLI
+    # accepts relative output dirs; treating every '/'-free name as a
+    # table id crashed the post-commit stats on
+    # `extract --output extracted`)
+    from ..sources.io import iceberg_available
+
+    is_iceberg = "/" not in out_dir and iceberg_available(spark)
+    if (
+        not is_iceberg
+        and (_local_fs_path(out_dir) or "/" not in out_dir)
+        and os.path.isdir(out_dir)
+    ):
         import pyarrow.compute as pc
         import pyarrow.dataset as pda
 
@@ -174,11 +187,11 @@ def _chunk_shard_stats(
                 int(fails),
             )
         return stats
-    # Iceberg table identifiers (no '/') read back via the catalog —
-    # matching write_extracted's writeTo() commit; everything else is a
+    # Iceberg identifiers read back via the catalog — matching
+    # write_extracted's writeTo() commit; everything else is a
     # filesystem parquet table
     committed = (
-        spark.read.table(out_dir) if "/" not in out_dir
+        spark.read.table(out_dir) if is_iceberg
         else spark.read.parquet(out_dir)
     )
     rows = (

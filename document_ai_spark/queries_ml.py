@@ -131,9 +131,21 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingle"
         ),
     )
+    # md5-hex-SLICE minima (r5, same construction as queries_base.
+    # minhash_band_pairs): mh_j = min over shingles of the (j%4)-th
+    # 8-hex-char slice of md5('j//4:'||shingle) — one md5 per four hash
+    # slots, fixed-width hex so lexicographic MIN == numeric MIN.
     aggs = [
-        F.min(F.md5(F.encode(F.concat_ws(":", F.lit(str(j)), "shingle"),
-                             "UTF-8"))).alias(f"mh_{j}")
+        F.min(
+            F.substring(
+                F.md5(F.encode(
+                    F.concat_ws(":", F.lit(str(j // 4)), "shingle"),
+                    "UTF-8",
+                )),
+                (j % 4) * 8 + 1,
+                8,
+            )
+        ).alias(f"mh_{j}")
         for j in range(N_MINHASH)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
@@ -146,7 +158,8 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_minhash_core() -> str:
     mins = ",\n".join(
-        f"MIN(md5('{j}' || ':' || shingle)) AS mh_{j}"
+        f"MIN(substr(md5('{j // 4}' || ':' || shingle), "
+        f"{(j % 4) * 8 + 1}, 8)) AS mh_{j}"
         for j in range(N_MINHASH)
     )
     return f"""

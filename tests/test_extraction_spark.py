@@ -175,6 +175,35 @@ def test_sharded_job_resumes_idempotently(spark, corpus_dir, tmp_path):
     assert df.select("url").distinct().count() == 200
 
 
+def test_relative_bare_output_dir(spark, corpus_dir):
+    """`extract --output extracted` (a bare RELATIVE dir, no '/') must
+    not be mistaken for an Iceberg table identifier: without a
+    configured catalog the post-commit stats read the local files (the
+    r5 lineage fast-path once routed every '/'-free name to
+    spark.read.table and crashed the CLI after a successful write).
+
+    No chdir here: the shared Spark JVM resolves relative paths against
+    ITS working directory (fixed at session start), so a monkeypatched
+    Python cwd would split the data and _lineage writes across two
+    directories. The bare name runs in the common cwd and is removed."""
+    import shutil
+    import uuid as _uuid
+
+    out = f"extracted_rel_{_uuid.uuid4().hex[:8]}"
+    try:
+        pages = spark.read.parquet(
+            os.path.join(corpus_dir, "pages.parquet")
+        ).limit(40)
+        r = run_extraction_job(
+            pages, out, n_shards=2, shards_per_commit=2,
+            run_id="rel", num_partitions=2,
+        )
+        assert r["docs"] == 40 and r["chunks"] == 1
+        assert os.path.isdir(os.path.join(out, "_lineage"))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_resume_filter_anti_join(spark, corpus_dir, tmp_path):
     pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
     out = str(tmp_path / "ex2")
