@@ -465,6 +465,25 @@ def window_quality(scaling: dict, mp: dict | None = None) -> dict:
     return q
 
 
+def capacity_probe(corpus: str) -> dict:
+    """Cheap no-Spark multicore-capacity check for the retry modes.
+    The noise mode that poisons wall-clock sections on this VM is
+    CAPACITY loss — mp@32p collapsing below mp@8p — which the
+    single-thread probe cannot see (r5 measured 3-10x swings on
+    identical warm jobs while probes held 2.2-2.8k docs/s). Full-run
+    artifacts self-flag via window_quality; this gives the
+    --pipeline-only/--ab-only/--scaling-only artifacts the same
+    property, recorded BEFORE and AFTER the section so noise arriving
+    mid-run is visible too. ~30 s per probe (two MP sweeps of the
+    128k corpus)."""
+    mp = mp_control(corpus, (8, 32))
+    mp["cpu_probe"] = _cpu_probe(corpus)
+    mp["mp_inverted"] = bool(
+        mp["mp_docs_per_sec@32p"] < 0.9 * mp["mp_docs_per_sec@8p"]
+    )
+    return mp
+
+
 def write_baseline_md(scaling: dict, mp: dict, queries: dict,
                       sf: str, pipe: dict | None = None,
                       ab: dict | None = None) -> None:
@@ -841,9 +860,18 @@ def scaling_only(out_path: str) -> int:
     full artifact at render time via --render <full.json> --scaling-from
     <this output>."""
     corpus = ensure_corpus(BENCH_DOCS)
+    cap_pre = capacity_probe(corpus)
     scaling = run_scaling(corpus)
-    scaling["window_quality"] = window_quality(scaling)
-    payload = {"extraction_scaling": scaling}
+    cap_post = capacity_probe(corpus)
+    scaling["window_quality"] = window_quality(
+        scaling,
+        {k: min(cap_pre[k], cap_post[k])
+         for k in ("mp_docs_per_sec@8p", "mp_docs_per_sec@32p")},
+    )
+    payload = {
+        "extraction_scaling": scaling,
+        "capacity_pre": cap_pre, "capacity_post": cap_post,
+    }
     with open(out_path, "w") as f:
         json.dump(payload, f)
     print(json.dumps(payload))
@@ -859,7 +887,13 @@ def ab_only(out_path: str, n_pairs: int) -> int:
     it into the committed BASELINE.md with the full-run JSON kept as
     the auditable record."""
     corpus = ensure_corpus(BENCH_DOCS)
+    cap_pre = capacity_probe(corpus)
     payload = {"ab_vs_prev_round": ab_vs_prev_round(corpus, n_pairs)}
+    payload["capacity_pre"] = cap_pre
+    payload["capacity_post"] = capacity_probe(corpus)
+    payload["capacity_noisy"] = bool(
+        cap_pre["mp_inverted"] or payload["capacity_post"]["mp_inverted"]
+    )
     with open(out_path, "w") as f:
         json.dump(payload, f)
     print(json.dumps(payload))
@@ -875,12 +909,18 @@ def pipeline_only(out_path: str) -> int:
     from document_ai_spark.session import get_spark
 
     corpus = ensure_corpus(BENCH_DOCS)
+    cap_pre = capacity_probe(corpus)
     spark = get_spark(
         app_name="bench-pipe", master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
     )
     payload = {"pipeline_sf01_sec": pipeline_bench(spark, corpus)}
     spark.stop()
+    payload["capacity_pre"] = cap_pre
+    payload["capacity_post"] = capacity_probe(corpus)
+    payload["capacity_noisy"] = bool(
+        cap_pre["mp_inverted"] or payload["capacity_post"]["mp_inverted"]
+    )
     with open(out_path, "w") as f:
         json.dump(payload, f)
     print(json.dumps(payload))

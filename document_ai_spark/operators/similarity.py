@@ -218,9 +218,31 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     edges = edges.filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # symmetric closure in ONE pass: explode each edge into both
+    # directions. The union-of-two-projections form this replaces
+    # evaluated the whole upstream `edges` plan twice — for the usual
+    # caller (dedup_clusters over LAZY minhash_band_pairs) that meant
+    # scan -> shingle -> signature -> bucket -> pair-explode ran twice
+    # per funnel (verified: 2 parquet scans, zero ReusedExchange in the
+    # executed plan of the union form; 1 scan after this change).
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("src"),
+                        F.col("dst").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
     # materialize the edge set once and size the rounds to it: the LSH
     # candidate graph is usually tiny relative to the corpus (826 edges at
     # sf0.1), and running every O(log d) round at the session's full

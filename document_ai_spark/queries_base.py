@@ -48,8 +48,8 @@ def minhash_band_pairs(df, id_col: str = "doc_id",
     the documents-table queries (queries_ml) and the curation engine
     (operators/curate), so the DuckDB oracle twin (_sql_minhash_core)
     can never drift from one copy while the other is updated. Returns
-    (doc_a, doc_b) candidate pairs from the bucketed band self-join
-    (never all-pairs).
+    (doc_a, doc_b) candidate pairs from the bucketed band pair-explode
+    (r5: no self-join; never all-pairs).
 
     Banding is a deployment knob (r3 verdict item 4): a pair with
     shingle-Jaccard s collides with probability 1 - (1 - s^r)^b for

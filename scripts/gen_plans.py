@@ -156,7 +156,8 @@ loop is gone.
 keeper, quality, Gopher pack, language-ID agreement) come from ONE scan
 of the documents table — composing the standalone queries would re-read
 the 100 TB text column once per flag. The r3 near-dup stage adds the
-MinHash/LSH candidate pipeline (bucketed band self-join, never all-pairs)
+MinHash/LSH candidate pipeline (bucketed band pair-explode — r5: no
+self-join, never all-pairs)
 plus connected components under an adaptive size gate: candidate graphs
 <= 1M edges (the sf LSH graph is a few hundred) resolve via a driver
 union-find — visible here as the broadcast ExistingRDD label side —

@@ -59,6 +59,24 @@ def test_window_quality_empty_inputs():
     assert q == {"noisy": False}
 
 
+def test_capacity_probe_flags_inversion(monkeypatch):
+    """capacity_probe (r5: retry-mode artifacts self-flag noisy windows
+    the way full runs do) derives mp_inverted with the same >=10%
+    margin window_quality uses — and never from the single-thread
+    probe, which capacity noise does not touch."""
+    calls = iter([
+        {"mp_docs_per_sec@8p": 12000.0, "mp_docs_per_sec@32p": 14000.0},
+        {"mp_docs_per_sec@8p": 12000.0, "mp_docs_per_sec@32p": 7400.0},
+        {"mp_docs_per_sec@8p": 12000.0, "mp_docs_per_sec@32p": 11500.0},
+    ])
+    monkeypatch.setattr(bench, "mp_control", lambda c, p: next(calls))
+    monkeypatch.setattr(bench, "_cpu_probe", lambda c: 2200.0)
+    quiet = bench.capacity_probe("unused")
+    assert not quiet["mp_inverted"] and quiet["cpu_probe"] == 2200.0
+    assert bench.capacity_probe("unused")["mp_inverted"]  # collapsed wide
+    assert not bench.capacity_probe("unused")["mp_inverted"]  # 4% jitter
+
+
 def test_render_rejects_malformed_scaling_from(tmp_path):
     """A typo'd/half-given --scaling-from must ERROR, never silently
     render without the overlay (it would publish the noisy base
