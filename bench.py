@@ -816,7 +816,8 @@ def salting_pathology(corpus: str) -> dict:
 
 def render_from_json(path: str, scaling_from: str | None = None,
                      ab_from: str | None = None,
-                     pipeline_from: str | None = None) -> int:
+                     pipeline_from: str | None = None,
+                     steady_from: str | None = None) -> int:
     """Re-render BENCH/BASELINE.md from a saved bench-run artifact —
     no benching. Lets the committed BASELINE.md present the most
     internally-coherent run of a noisy day while keeping every run's
@@ -843,6 +844,12 @@ def render_from_json(path: str, scaling_from: str | None = None,
         with open(pipeline_from) as f:
             pipe = json.load(f)["pipeline_sf01_sec"]
         src += f" + pipeline from {pipeline_from}"
+    if steady_from is not None:
+        # applied AFTER --scaling-from: a --steady-only artifact carries
+        # only the steady_*/salting keys, so the two overlays compose
+        with open(steady_from) as f:
+            scaling.update(json.load(f)["extraction_scaling"])
+        src += f" + steady/salting from {steady_from}"
     write_baseline_md(
         scaling, d["mp_control"], d["queries"],
         d["sf"], pipe=pipe, ab=ab,
@@ -927,6 +934,32 @@ def pipeline_only(out_path: str) -> int:
     return 0
 
 
+def steady_only(out_path: str) -> int:
+    """Run ONLY the warm steady-state + salting-pathology sections and
+    save their keys under `extraction_scaling` — the two sections of a
+    full run with no cheap retry until now (run8's landed in a noisy
+    stretch its own window_quality flagged). Merge into a full artifact
+    at render time via --render <full.json> ... --steady-from <this
+    output> (applied after --scaling-from, so a clean scaling overlay
+    and a clean steady/salting overlay compose)."""
+    corpus = ensure_corpus(BENCH_DOCS)
+    cap_pre = capacity_probe(corpus)
+    scaling: dict = dict(steady_state(corpus))
+    scaling["salting_pathology"] = salting_pathology(corpus)
+    payload = {
+        "extraction_scaling": scaling,
+        "capacity_pre": cap_pre,
+        "capacity_post": capacity_probe(corpus),
+    }
+    payload["capacity_noisy"] = bool(
+        cap_pre["mp_inverted"] or payload["capacity_post"]["mp_inverted"]
+    )
+    with open(out_path, "w") as f:
+        json.dump(payload, f)
+    print(json.dumps(payload))
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) >= 2 and sys.argv[1] == "--render":
         # strict: a typo'd or half-given overlay flag must NOT fall
@@ -934,7 +967,7 @@ def main() -> int:
         # publish the noisy base artifact's numbers)
         overlays = {
             "--scaling-from": None, "--ab-from": None,
-            "--pipeline-from": None,
+            "--pipeline-from": None, "--steady-from": None,
         }
         rest = sys.argv[3:]
         ok = len(sys.argv) >= 3 and len(rest) % 2 == 0
@@ -947,12 +980,12 @@ def main() -> int:
             return render_from_json(
                 sys.argv[2],
                 overlays["--scaling-from"], overlays["--ab-from"],
-                overlays["--pipeline-from"],
+                overlays["--pipeline-from"], overlays["--steady-from"],
             )
         print(
             "usage: bench.py --render <run.json> "
             "[--scaling-from <scaling.json>] [--ab-from <ab.json>] "
-            "[--pipeline-from <pipe.json>]",
+            "[--pipeline-from <pipe.json>] [--steady-from <steady.json>]",
             file=sys.stderr,
         )
         return 2
@@ -965,6 +998,8 @@ def main() -> int:
         )
     if len(sys.argv) == 3 and sys.argv[1] == "--pipeline-only":
         return pipeline_only(sys.argv[2])
+    if len(sys.argv) == 3 and sys.argv[1] == "--steady-only":
+        return steady_only(sys.argv[2])
     import __spark_entry__ as entrymod
     from document_ai_spark.session import get_spark
 
