@@ -24,11 +24,19 @@ def chunk_documents(
     overlap: int = 64,
     unit: str = "words",
     merges: list | None = None,
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """df(id, text, ...) -> (id, chunk_no, n_chunks, chunk_text,
-    chunk_words). Windows of `max_words` BUDGET UNITS advancing by
-    (max_words - overlap); the final window may be shorter; a document
-    within one budget is one chunk. `overlap` must be < max_words.
+    """df(id, text, ...) -> (id, *passthrough_cols, chunk_no, n_chunks,
+    chunk_text, chunk_words). Windows of `max_words` BUDGET UNITS
+    advancing by (max_words - overlap); the final window may be
+    shorter; a document within one budget is one chunk. `overlap` must
+    be < max_words.
+
+    `passthrough_cols` (r5): per-document metadata columns carried onto
+    every chunk row in-plan — the pipeline rides `warc_ts` through
+    instead of re-scanning the curated table and shuffling a
+    chunks<->docs join just to recover it. Default empty: the
+    oracle-checked registry schema is unchanged.
 
     unit='words' (default): the budget counts whitespace words —
     the oracle-checked frozen behavior. unit='subwords' (r5): the
@@ -49,19 +57,21 @@ def chunk_documents(
         if overlap != 0:
             raise ValueError("subword budgets support overlap=0 only")
         return _chunk_by_subwords(df, id_col, text_col, max_words,
-                                  merges)
+                                  merges, passthrough_cols)
     if unit != "words":
         raise ValueError(f"unknown unit {unit!r}")
     stride = max_words - overlap
     words = _norm_words(text_col)
     d = df.select(
-        F.col(id_col), words.alias("_w"), F.size(words).alias("_n")
+        F.col(id_col), *[F.col(c) for c in passthrough_cols],
+        words.alias("_w"), F.size(words).alias("_n")
     )
     n_chunks = F.when(F.col("_n") <= max_words, F.lit(1)).otherwise(
         F.ceil((F.col("_n") - F.lit(overlap)) / F.lit(stride)).cast("int")
     )
     chunks = d.select(
         id_col,
+        *passthrough_cols,
         n_chunks.alias("n_chunks"),
         F.posexplode(
             F.transform(
@@ -74,6 +84,7 @@ def chunk_documents(
     )
     return chunks.select(
         id_col,
+        *passthrough_cols,
         "chunk_no",
         "n_chunks",
         F.concat_ws(" ", "_cw").alias("chunk_text"),
@@ -87,6 +98,7 @@ def _chunk_by_subwords(
     text_col: str,
     budget: int,
     merges: list,
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Stream-cut word grouping under a subword budget: per-word piece
     counts come from ONE BPE encode per distinct word (joined back),
@@ -100,6 +112,7 @@ def _chunk_by_subwords(
 
     words = df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough_cols],
         F.posexplode(_norm_words(text_col)).alias("pos", "word"),
     )
     wp = word_piece_counts(
@@ -119,7 +132,9 @@ def _chunk_by_subwords(
     )
     # words re-join with single spaces (the normalization the word
     # split came from), ordered by their in-doc position
-    chunks = ww.groupBy(id_col, "chunk_no").agg(
+    # passthrough cols are constant per document, so grouping by them
+    # alongside the id changes nothing but carries them through
+    chunks = ww.groupBy(id_col, *passthrough_cols, "chunk_no").agg(
         F.concat_ws(
             " ",
             F.transform(
@@ -134,8 +149,8 @@ def _chunk_by_subwords(
     return chunks.withColumn(
         "n_chunks", F.max(F.col("chunk_no") + 1).over(wn)
     ).select(
-        id_col, "chunk_no", "n_chunks", "chunk_text", "chunk_words",
-        "chunk_subwords",
+        id_col, *passthrough_cols, "chunk_no", "n_chunks", "chunk_text",
+        "chunk_words", "chunk_subwords",
     )
 
 

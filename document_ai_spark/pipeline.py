@@ -399,11 +399,15 @@ def run_pipeline(
     else:
         t0 = time.time()
         curated = spark.read.parquet(text_src)
+        # warc_ts rides through the chunker in-plan (r5): the join-back
+        # this replaces re-scanned the curated table and shuffled a
+        # chunks<->docs equi-join just to recover one per-doc column
         chunks = chunk_documents(
             curated, id_col="url", text_col="main_text",
             max_words=chunk_words, overlap=chunk_overlap,
             unit=chunk_unit, merges=merges,
-        ).join(curated.select("url", "warc_ts"), "url")
+            passthrough_cols=("warc_ts",),
+        )
         chunks.write.mode("overwrite").parquet(chunks_dir)
         summary["stages"]["chunk"] = {
             "skipped": False,

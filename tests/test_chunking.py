@@ -117,3 +117,37 @@ def test_pack_sequences_deterministic(spark):
         for r in pack_sequences(chunks, pack_words=64).collect()
     )
     assert a == b
+
+
+def test_chunk_passthrough_cols_both_units(spark):
+    """passthrough_cols (r5) carries per-doc metadata onto every chunk
+    row in-plan — the pipeline rides warc_ts through instead of a
+    join-back — in BOTH budget units, without touching the default
+    (oracle-checked) schema."""
+    from document_ai_spark.functions.subword import learn_bpe
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)), "t1"),
+         (2, "a b c", "t2")],
+        "doc_id long, text string, ts string",
+    )
+    got = chunk_documents(
+        df, max_words=4, overlap=1, passthrough_cols=("ts",)
+    ).collect()
+    assert {(r.doc_id, r.ts) for r in got} == {(1, "t1"), (2, "t2")}
+    assert len([r for r in got if r.doc_id == 1]) == 3
+    # default schema unchanged
+    assert "ts" not in chunk_documents(df, max_words=4, overlap=1).columns
+    merges = learn_bpe(df, text_col="text", n_merges=8)
+    sub = chunk_documents(
+        df, max_words=6, overlap=0, unit="subwords", merges=merges,
+        passthrough_cols=("ts",),
+    ).collect()
+    assert {(r.doc_id, r.ts) for r in sub} == {(1, "t1"), (2, "t2")}
+    # same chunk text with and without the passthrough
+    base = chunk_documents(
+        df, max_words=6, overlap=0, unit="subwords", merges=merges
+    ).collect()
+    key = lambda rows: sorted((r.doc_id, r.chunk_no, r.chunk_text)
+                              for r in rows)
+    assert key(sub) == key(base)
