@@ -817,7 +817,8 @@ def salting_pathology(corpus: str) -> dict:
 def render_from_json(path: str, scaling_from: str | None = None,
                      ab_from: str | None = None,
                      pipeline_from: str | None = None,
-                     steady_from: str | None = None) -> int:
+                     steady_from: str | None = None,
+                     salting_from: str | None = None) -> int:
     """Re-render BENCH/BASELINE.md from a saved bench-run artifact —
     no benching. Lets the committed BASELINE.md present the most
     internally-coherent run of a noisy day while keeping every run's
@@ -844,12 +845,16 @@ def render_from_json(path: str, scaling_from: str | None = None,
         with open(pipeline_from) as f:
             pipe = json.load(f)["pipeline_sf01_sec"]
         src += f" + pipeline from {pipeline_from}"
+    # applied AFTER --scaling-from: the single-section retry artifacts
+    # carry disjoint `extraction_scaling` keys, so the overlays compose
     if steady_from is not None:
-        # applied AFTER --scaling-from: a --steady-only artifact carries
-        # only the steady_*/salting keys, so the two overlays compose
         with open(steady_from) as f:
             scaling.update(json.load(f)["extraction_scaling"])
-        src += f" + steady/salting from {steady_from}"
+        src += f" + steady from {steady_from}"
+    if salting_from is not None:
+        with open(salting_from) as f:
+            scaling.update(json.load(f)["extraction_scaling"])
+        src += f" + salting from {salting_from}"
     write_baseline_md(
         scaling, d["mp_control"], d["queries"],
         d["sf"], pipe=pipe, ab=ab,
@@ -934,20 +939,18 @@ def pipeline_only(out_path: str) -> int:
     return 0
 
 
-def steady_only(out_path: str) -> int:
-    """Run ONLY the warm steady-state + salting-pathology sections and
-    save their keys under `extraction_scaling` — the two sections of a
-    full run with no cheap retry until now (run8's landed in a noisy
-    stretch its own window_quality flagged). Merge into a full artifact
-    at render time via --render <full.json> ... --steady-from <this
-    output> (applied after --scaling-from, so a clean scaling overlay
-    and a clean steady/salting overlay compose)."""
+def _capacity_wrapped(out_path: str, section) -> int:
+    """Run one bench section bracketed by capacity probes and save it.
+    Shared by the single-section retry modes: this host's quiet
+    intervals run ~5-15 minutes, so the retry unit must be SHORTER
+    than that — the first combined steady+salting retry read a healthy
+    capacity_pre, then the post probe caught the collapse mid-run
+    twice in a row (bench_r5_steady_retry{,2}.json), poisoning the
+    later section both times."""
     corpus = ensure_corpus(BENCH_DOCS)
     cap_pre = capacity_probe(corpus)
-    scaling: dict = dict(steady_state(corpus))
-    scaling["salting_pathology"] = salting_pathology(corpus)
     payload = {
-        "extraction_scaling": scaling,
+        "extraction_scaling": section(corpus),
         "capacity_pre": cap_pre,
         "capacity_post": capacity_probe(corpus),
     }
@@ -960,6 +963,25 @@ def steady_only(out_path: str) -> int:
     return 0
 
 
+def steady_only(out_path: str) -> int:
+    """Run ONLY the warm steady-state section (a full-run section with
+    no cheap retry until now — run8's landed in a noisy stretch its own
+    window_quality flagged). Merge into a full artifact at render time
+    via --render <full.json> ... --steady-from <this output> (applied
+    after --scaling-from, so a clean scaling overlay and a clean
+    steady overlay compose; --salting-only artifacts merge through the
+    same flag — both carry disjoint `extraction_scaling` keys)."""
+    return _capacity_wrapped(out_path, lambda c: dict(steady_state(c)))
+
+
+def salting_only(out_path: str) -> int:
+    """Run ONLY the adaptive-salting pathology section (see
+    steady_only; its artifact merges via --steady-from too)."""
+    return _capacity_wrapped(
+        out_path, lambda c: {"salting_pathology": salting_pathology(c)}
+    )
+
+
 def main() -> int:
     if len(sys.argv) >= 2 and sys.argv[1] == "--render":
         # strict: a typo'd or half-given overlay flag must NOT fall
@@ -968,6 +990,7 @@ def main() -> int:
         overlays = {
             "--scaling-from": None, "--ab-from": None,
             "--pipeline-from": None, "--steady-from": None,
+            "--salting-from": None,
         }
         rest = sys.argv[3:]
         ok = len(sys.argv) >= 3 and len(rest) % 2 == 0
@@ -981,11 +1004,13 @@ def main() -> int:
                 sys.argv[2],
                 overlays["--scaling-from"], overlays["--ab-from"],
                 overlays["--pipeline-from"], overlays["--steady-from"],
+                overlays["--salting-from"],
             )
         print(
             "usage: bench.py --render <run.json> "
             "[--scaling-from <scaling.json>] [--ab-from <ab.json>] "
-            "[--pipeline-from <pipe.json>] [--steady-from <steady.json>]",
+            "[--pipeline-from <pipe.json>] [--steady-from <steady.json>] "
+            "[--salting-from <salting.json>]",
             file=sys.stderr,
         )
         return 2
@@ -1000,6 +1025,8 @@ def main() -> int:
         return pipeline_only(sys.argv[2])
     if len(sys.argv) == 3 and sys.argv[1] == "--steady-only":
         return steady_only(sys.argv[2])
+    if len(sys.argv) == 3 and sys.argv[1] == "--salting-only":
+        return salting_only(sys.argv[2])
     import __spark_entry__ as entrymod
     from document_ai_spark.session import get_spark
 
