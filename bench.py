@@ -526,7 +526,13 @@ def write_baseline_md(scaling: dict, mp: dict, queries: dict,
         "several-fold mid-benchmark — see BENCH/HOST_NOISE_R5.md).",
         "",
     ]
-    wq = window_quality(scaling, mp)
+    # prefer the scaling dict's own window_quality: it was computed
+    # against the probes/controls that bracketed THAT section, and a
+    # --render --scaling-from overlay carries it along — recomputing
+    # from the BASE run's mp control here would brand a clean overlaid
+    # scaling section with the noisy base window (or vice versa).
+    # Recompute only for artifacts predating the key.
+    wq = scaling.get("window_quality") or window_quality(scaling, mp)
     if wq.get("noisy"):
         lines += [
             f"**NOTE: this run's own window-quality metrics flag a noisy "
@@ -833,7 +839,14 @@ def render_from_json(path: str, scaling_from: str | None = None,
     src = path
     if scaling_from is not None:
         with open(scaling_from) as f:
-            scaling.update(json.load(f)["extraction_scaling"])
+            ov = json.load(f)["extraction_scaling"]
+        scaling.update(ov)
+        if "window_quality" not in ov:
+            # overlay artifact predates the self-flag key: recompute
+            # from ITS trials/probes (now merged in), with no MP term —
+            # the base run's MP control ran in a DIFFERENT window and
+            # must not brand the overlaid section noisy (or clean)
+            scaling["window_quality"] = window_quality(scaling, None)
         src += f" + scaling from {scaling_from}"
     ab = d.get("ab_vs_prev_round")
     if ab_from is not None:

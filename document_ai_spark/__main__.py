@@ -271,8 +271,8 @@ def cmd_curate(args) -> int:
     from pyspark.sql import functions as F
 
     from document_ai_spark.operators.curate import (
+        adaptive_collapse,
         clf_flags,
-        collapse_recrawls,
         curation_flags,
         funnel_counts,
         kept_filter,
@@ -281,7 +281,10 @@ def cmd_curate(args) -> int:
     )
 
     spark = _spark(args)
-    extracted = collapse_recrawls(spark.read.parquet(args.extracted))
+    # adaptive recrawl collapse (the curation-entry-point invariant):
+    # url-unique inputs skip the window; inputs with recrawls pay it
+    # ONCE via localCheckpoint — left lazy it re-runs per flag consumer
+    extracted, _collapse_mode = adaptive_collapse(spark, args.extracted)
     flags = curation_flags(
         extracted, id_col="url", text_col="main_text", lang_col=None
     )
@@ -315,24 +318,16 @@ def cmd_curate(args) -> int:
     kept = kept_filter(flags, rules).select("url", "n_tokens")
     kept_docs = extracted.join(kept.select("url"), "url", "left_semi")
     kept_docs.write.mode("overwrite").parquet(args.output)
-    row = funnel_counts(flags).collect()[0]
+    # funnel restricted to the SELECTED rules so its `kept` agrees with
+    # what kept_filter wrote (curation_flags always emits quality/
+    # gopher columns, selected or not)
+    row = funnel_counts(flags, rules).collect()[0]
     out = {
         "rules": list(rules),
         "written": spark.read.parquet(args.output).count(),
-        "total_docs": row.total_docs,
-        "after_dedup": row.after_dedup,
-        "after_quality": row.after_quality,
-        "after_gopher": row.after_gopher,
-        "kept": row.kept,
-        "kept_tokens": row.kept_tokens,
+        **row.asDict(),
         "out_dir": args.output,
     }
-    if "neardup" in rules:
-        out["after_neardup"] = row.after_neardup
-    if "lm" in rules:
-        out["into_lm"] = row.into_lm
-    if "clf" in rules:
-        out["into_clf"] = row.into_clf
     print(json.dumps(out))
     return 0
 

@@ -142,13 +142,17 @@ def subword_token_counts(
     """-> (id, n_words, n_subwords) per document under the frozen word
     normalization. The BPE encode runs once per DISTINCT word; the
     corpus pays explode + join + one aggregate."""
-    words = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(_norm_words(text_col)).alias("word"),
-        )
-        .filter(F.col("word") != "")
-    )
+    # df feeds THREE subtrees (distinct-word table, join side, and the
+    # left-join base restoring empty docs); left lazy, the regex word
+    # split re-runs per subtree per action — materialize the normalized
+    # words array once (the multi-use-intermediate convention:
+    # quality_lm's vocab, passages' fingerprint map)
+    base = df.select(
+        F.col(id_col).alias("_id"), _norm_words(text_col).alias("_w")
+    ).localCheckpoint()
+    words = base.select(
+        "_id", F.explode("_w").alias("word")
+    ).filter(F.col("word") != "")
     wp = word_piece_counts(words.select("word").distinct(), merges)
     per_doc = (
         words.join(wp, "word")
@@ -159,7 +163,7 @@ def subword_token_counts(
         )
     )
     return (
-        df.select(F.col(id_col).alias("_id"))
+        base.select("_id")
         .join(per_doc, "_id", "left")
         .select(
             F.col("_id").alias(id_col),

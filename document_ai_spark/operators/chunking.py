@@ -110,10 +110,20 @@ def _chunk_by_subwords(
 
     from ..functions.subword import word_piece_counts
 
-    words = df.select(
+    # the words subplan feeds TWO subtrees (the distinct-word table and
+    # the join side); left lazy, the regex word split runs twice per
+    # action — materialize the normalized words array once per doc (the
+    # multi-use-intermediate convention: quality_lm's vocab, passages'
+    # fingerprint map)
+    base = df.select(
         F.col(id_col),
         *[F.col(c) for c in passthrough_cols],
-        F.posexplode(_norm_words(text_col)).alias("pos", "word"),
+        _norm_words(text_col).alias("_w"),
+    ).localCheckpoint()
+    words = base.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough_cols],
+        F.posexplode("_w").alias("pos", "word"),
     )
     wp = word_piece_counts(
         words.select("word").distinct(), merges

@@ -161,7 +161,7 @@ def collapse_recrawls(
 def adaptive_collapse(
     spark,
     extracted_path: str,
-    materialize_dir: str,
+    materialize_dir: str | None = None,
     id_col: str = "url",
     ts_col: str = "warc_ts",
 ) -> tuple[DataFrame, str]:
@@ -179,7 +179,10 @@ def adaptive_collapse(
     - inputs WITH recrawls pay the window exactly once: the collapsed
       table is written to `materialize_dir` (idempotent _SUCCESS
       commit, so a crash between this write and the curated output
-      resumes without recomputing) — mode 'materialized'.
+      resumes without recomputing) — mode 'materialized'. Callers with
+      no workdir (the `curate` CLI verb) pass materialize_dir=None and
+      get a localCheckpoint instead — mode 'checkpointed' (same
+      run-once guarantee, executor-local storage, no resume).
 
     The uniqueness probe is a countDistinct over the id column only
     (column-pruned scan); the row count comes from parquet footers
@@ -193,6 +196,12 @@ def adaptive_collapse(
     n_ids = raw.select(id_col).distinct().count()
     if n_ids == n_rows:
         return raw, "identity"
+    if materialize_dir is None:
+        return (
+            collapse_recrawls(raw, id_col=id_col, ts_col=ts_col)
+            .localCheckpoint(),
+            "checkpointed",
+        )
     if not os.path.exists(os.path.join(materialize_dir, "_SUCCESS")):
         collapse_recrawls(raw, id_col=id_col, ts_col=ts_col).write.mode(
             "overwrite"
@@ -246,6 +255,12 @@ def clf_flags(
             F.col(id_col),
             (F.col("pass_quality") & F.col("pass_gopher")).alias("label"),
         )
+    # the label lineage is consumed by several actions (two emptiness
+    # probes + the bounded fit sample) and callers stack heavy plans
+    # under it (the curate verbs bootstrap labels from the already-
+    # joined flag frame, whose lineage includes the LSH pipeline):
+    # checkpoint the two tiny columns so that plan runs exactly once
+    labels = labels.select(F.col(id_col), "label").localCheckpoint()
     lab = df.select(F.col(id_col), F.col(text_col)).join(labels, id_col)
     pos = lab.filter(F.col("label")).select(text_col)
     neg = lab.filter(~F.col("label")).select(text_col)
@@ -279,47 +294,51 @@ def kept_filter(
     return flags.filter(cond)
 
 
-def funnel_counts(flags: DataFrame) -> DataFrame:
+def funnel_counts(
+    flags: DataFrame, rules: tuple[str, ...] | None = None
+) -> DataFrame:
     """One aggregation row: survivors at each stage + kept token total.
-    Stage order: exact dedup -> near-dup cluster keeper (when the
-    pass_neardup column is present) -> quality -> gopher -> language ->
-    LM bucket -> learned classifier (each optional stage appears only
-    when its flag column is present). The LM and classifier stages
-    additionally report the count ENTERING them (`into_lm`/`into_clf`)
-    — named for the stage they feed, not for whichever optional stage
-    happens to precede them (a funnel with clf but no lm would
-    otherwise print a phantom LM rung)."""
-    has_nd = "pass_neardup" in flags.columns
-    has_lang = "pass_lang" in flags.columns
-    has_lm = "pass_lm" in flags.columns
-    has_clf = "pass_clf" in flags.columns
-    after_dedup = F.col("pass_dedup")
-    after_nd = (
-        after_dedup & F.col("pass_neardup") if has_nd else after_dedup
-    )
-    after_quality = after_nd & F.col("pass_quality")
-    after_gopher = after_quality & F.col("pass_gopher")
-    after_lang = (
-        after_gopher & F.col("pass_lang") if has_lang else after_gopher
-    )
-    after_lm = after_lang & F.col("pass_lm") if has_lm else after_lang
-    kept = after_lm & F.col("pass_clf") if has_clf else after_lm
-    aggs = [
-        F.count(F.lit(1)).alias("total_docs"),
-        F.sum(after_dedup.cast("long")).alias("after_dedup"),
-    ]
-    if has_nd:
-        aggs.append(F.sum(after_nd.cast("long")).alias("after_neardup"))
+    Stage order: exact dedup -> near-dup cluster keeper -> quality ->
+    gopher -> language -> LM bucket -> learned classifier. A stage
+    appears only when its flag column is present AND (when `rules` is
+    given) its rule is selected — curation_flags always emits
+    quality/gopher, so a `curate --rules dedup,clf` run would otherwise
+    print a funnel whose `kept` disagrees with what kept_filter wrote.
+    Default rules=None counts every present flag (the oracle-checked
+    curation_funnel shape). The LM and classifier stages additionally
+    report the count ENTERING them (`into_lm`/`into_clf`) — named for
+    the stage they feed, not for whichever optional stage happens to
+    precede them (a funnel with clf but no lm would otherwise print a
+    phantom LM rung)."""
+    def on(rule: str) -> bool:
+        return (f"pass_{rule}" in flags.columns) and (
+            rules is None or rule in rules
+        )
+
+    cum = F.lit(True)
+    aggs = [F.count(F.lit(1)).alias("total_docs")]
+    for rule, rung in (
+        ("dedup", "after_dedup"),
+        ("neardup", "after_neardup"),
+        ("quality", "after_quality"),
+        ("gopher", "after_gopher"),
+        ("lang", None),  # feeds the chain; no rung of its own (frozen
+        #                  oracle-checked curation_funnel schema)
+        ("lm", "into_lm"),
+        ("clf", "into_clf"),
+    ):
+        if not on(rule):
+            continue
+        if rung is not None and rung.startswith("into_"):
+            # count entering the stage (cum BEFORE conjoining its flag)
+            aggs.append(F.sum(cum.cast("long")).alias(rung))
+            cum = cum & F.col(f"pass_{rule}")
+        else:
+            cum = cum & F.col(f"pass_{rule}")
+            if rung is not None:
+                aggs.append(F.sum(cum.cast("long")).alias(rung))
     aggs += [
-        F.sum(after_quality.cast("long")).alias("after_quality"),
-        F.sum(after_gopher.cast("long")).alias("after_gopher"),
-    ]
-    if has_lm:
-        aggs.append(F.sum(after_lang.cast("long")).alias("into_lm"))
-    if has_clf:
-        aggs.append(F.sum(after_lm.cast("long")).alias("into_clf"))
-    aggs += [
-        F.sum(kept.cast("long")).alias("kept"),
-        F.sum(F.when(kept, F.col("n_tokens"))).alias("kept_tokens"),
+        F.sum(cum.cast("long")).alias("kept"),
+        F.sum(F.when(cum, F.col("n_tokens"))).alias("kept_tokens"),
     ]
     return flags.agg(*aggs)

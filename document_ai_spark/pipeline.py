@@ -51,22 +51,30 @@ def _parquet_rows(path: str) -> int:
 
     import pyarrow.parquet as pq
 
-    if os.path.isfile(path):
-        files = [path]
-    elif os.path.isdir(path):
-        files = []
-        for root, dirs, names in os.walk(path):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            files += [
+    def _walk(d: str) -> list[str]:
+        out = []
+        for root, dirs, names in os.walk(d):
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+            out += [
                 os.path.join(root, f)
                 for f in names
                 if f.endswith(".parquet") and not f.startswith(("_", "."))
             ]
-    else:  # glob pattern (spark.read.parquet accepts those too)
-        files = [
-            p for p in _glob.glob(path)
-            if p.endswith(".parquet") and os.path.isfile(p)
-        ]
+        return out
+
+    if os.path.isfile(path):
+        files = [path]
+    elif os.path.isdir(path):
+        files = _walk(path)
+    else:  # glob pattern (spark.read.parquet accepts those too);
+        # a glob may match DIRECTORIES (e.g. 'extracted/shard_id=*'),
+        # which the Spark reader descends into — mirror that
+        files = []
+        for p in _glob.glob(path):
+            if os.path.isdir(p):
+                files += _walk(p)
+            elif p.endswith(".parquet") and os.path.isfile(p):
+                files.append(p)
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 

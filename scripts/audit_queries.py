@@ -53,18 +53,20 @@ SCAN_ALLOWLIST = {
                                 # branch materializes its fingerprints
                                 # once (localCheckpoint) so its three
                                 # uses add no parquet scans.
-                                # r5: +8 for the four corpus-ops
-                                # branches — quality_lm 3 (vocab build
-                                # is its own pass BY DESIGN, then score
-                                # + id join; vocab/scores themselves
-                                # are localCheckpointed), crawl_diff 4
-                                # (old + the three constructed new-
-                                # snapshot slices; at corpus scale old/
-                                # new are two DIFFERENT tables scanned
-                                # once each), domain_mixture 1,
-                                # quality_clf 2 (pos + neg scoring; the
-                                # bounded fit sample runs eagerly
-                                # outside the returned plan)
+                                # r5: +8 measured for the five new
+                                # branches — quality_lm 1 (vocab AND
+                                # scores are localCheckpointed, so only
+                                # the id join-back scans parquet),
+                                # crawl_diff 4 (old + the three
+                                # constructed new-snapshot slices; at
+                                # corpus scale old/new are two
+                                # DIFFERENT tables scanned once each),
+                                # domain_mixture 1, quality_clf 2 (pos
+                                # + neg scoring; the bounded fit sample
+                                # runs eagerly outside the returned
+                                # plan), passage_excision 0 (reads the
+                                # same localCheckpointed fingerprint
+                                # map as shared_passages)
     "sessionize": 2,            # two sessionization forms over events
     "doc_signatures": 3,        # fingerprint (shingle explode) + entropy
                                 # (char explode) branches joined per doc —

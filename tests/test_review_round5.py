@@ -72,6 +72,33 @@ def test_funnel_clf_without_lm_reports_into_clf(spark):
     assert row.kept == 1
 
 
+def test_funnel_counts_respects_rule_subset(spark):
+    """funnel_counts(flags, rules) must agree with kept_filter under the
+    same rule subset: curation_flags always emits quality/gopher, so an
+    unrestricted funnel for `--rules dedup,quality` would conjoin
+    gopher anyway and print kept < written."""
+    from document_ai_spark.operators.curate import (
+        funnel_counts,
+        kept_filter,
+    )
+
+    flags = spark.createDataFrame(
+        [(1, True, True, False, 10),
+         (2, True, True, True, 10),
+         (3, True, False, True, 10)],
+        "doc_id long, pass_dedup boolean, pass_quality boolean, "
+        "pass_gopher boolean, n_tokens long",
+    )
+    rules = ("dedup", "quality")
+    row = funnel_counts(flags, rules).collect()[0]
+    assert row.kept == kept_filter(flags, rules).count() == 2
+    cols = set(funnel_counts(flags, rules).columns)
+    assert "after_gopher" not in cols  # unselected stage: no rung
+    # default (rules=None) keeps the frozen oracle-checked shape
+    full = funnel_counts(flags).collect()[0]
+    assert full.after_gopher == 1 and full.kept == 1
+
+
 def test_excision_cap_shares_pos_bits():
     """The excision normalization cap and the winnowing (hash, pos)
     key layout must be the SAME constant — a drifted copy would

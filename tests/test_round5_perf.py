@@ -65,6 +65,48 @@ def test_adaptive_collapse_materializes_once_and_resumes(spark, tmp_path):
     assert {r.url: r.main_text for r in out2.collect()} == rows
 
 
+def test_adaptive_collapse_checkpoints_without_workdir(spark, tmp_path):
+    """Callers with no workdir (the curate CLI) omit materialize_dir:
+    recrawled input still collapses to one newest row per url, paid
+    once via localCheckpoint — mode 'checkpointed', nothing on disk."""
+    from document_ai_spark.operators.curate import adaptive_collapse
+
+    src = str(tmp_path / "extracted")
+    spark.createDataFrame(
+        [
+            ("u0", "2026-01-01", "old crawl"),
+            ("u0", "2026-01-09", "new crawl"),
+            ("u1", "2026-01-02", "only crawl"),
+        ],
+        "url string, warc_ts string, main_text string",
+    ).write.parquet(src)
+    out, mode = adaptive_collapse(spark, src)
+    assert mode == "checkpointed"
+    assert {r.url: r.main_text for r in out.collect()} == {
+        "u0": "new crawl", "u1": "only crawl"
+    }
+
+
+def test_parquet_rows_directory_glob(spark, tmp_path):
+    """_parquet_rows must mirror spark.read.parquet's path semantics for
+    globs that match DIRECTORIES (e.g. 'extracted/shard_id=*'), not just
+    files — a 0 here silently defeats adaptive_collapse's identity skip
+    and corrupts summary counts."""
+    import glob as _glob
+
+    from document_ai_spark.pipeline import _parquet_rows
+
+    base = str(tmp_path / "extracted")
+    df = spark.createDataFrame(
+        [(f"u{i}", i % 2) for i in range(10)], "url string, shard_id int"
+    )
+    df.write.partitionBy("shard_id").parquet(base)
+    pat = os.path.join(base, "shard_id=*")
+    assert len(_glob.glob(pat)) == 2  # the glob matches directories
+    assert _parquet_rows(pat) == 10
+    assert _parquet_rows(base) == 10
+
+
 def test_pipeline_summary_reports_collapse_mode(spark, corpus_dir, tmp_path):
     """The curate stage summary must say which collapse branch ran —
     'identity' for a url-unique pages table (the datagen corpus)."""
