@@ -297,6 +297,14 @@ def cmd_curate(args) -> int:
             ),
             "url",
         )
+    if "rep" in rules:
+        # Gopher repetition stage (r5): duplicate line/paragraph caps
+        from document_ai_spark.operators.repetition import rep_flags
+
+        flags = flags.join(
+            rep_flags(extracted, id_col="url", text_col="main_text"),
+            "url",
+        )
     if "lm" in rules:
         # CCNet-style LM bucket stage (r4): drop the worst-surprisal tail
         flags = flags.join(
@@ -504,7 +512,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument(
         "--rules", default="dedup,quality,gopher",
         help="comma list of keep rules (dedup,neardup,quality,gopher,"
-        "lm,clf); neardup adds the MinHash/LSH cluster-keeper stage, lm "
+        "rep,lm,clf); neardup adds the MinHash/LSH cluster-keeper stage, "
+        "rep the Gopher duplicate-line/paragraph caps, lm "
         "the CCNet-style surprisal-tail drop, clf the learned "
         "classifier bootstrapped from the heuristic flags; the "
         "synthetic corpus vocabulary is stopword-free by construction, "
@@ -531,7 +540,7 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--user-agent", default="*")
     pl.add_argument("--rules", default="dedup,quality,gopher",
                     help="curation rules (dedup,neardup,quality,gopher,"
-                    "lm,clf)")
+                    "rep,lm,clf)")
     pl.add_argument("--chunk-words", type=int, default=512)
     pl.add_argument("--chunk-overlap", type=int, default=64)
     pl.add_argument("--excise", action="store_true",

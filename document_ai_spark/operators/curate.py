@@ -278,7 +278,9 @@ def clf_flags(
     return scored.select(F.col(id_col), "pass_clf")
 
 
-ALL_RULES = ("dedup", "neardup", "quality", "gopher", "lang", "lm", "clf")
+ALL_RULES = (
+    "dedup", "neardup", "quality", "gopher", "rep", "lang", "lm", "clf"
+)
 
 
 def kept_filter(
@@ -322,6 +324,7 @@ def funnel_counts(
         ("neardup", "after_neardup"),
         ("quality", "after_quality"),
         ("gopher", "after_gopher"),
+        ("rep", "after_rep"),
         ("lang", None),  # feeds the chain; no rung of its own (frozen
         #                  oracle-checked curation_funnel schema)
         ("lm", "into_lm"),

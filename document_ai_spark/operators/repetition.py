@@ -1,0 +1,112 @@
+"""Gopher-style repetition signals: duplicate-line / duplicate-paragraph
+fractions, by count and by character mass (Rae et al. 2021's rule-pack
+family; RefinedWeb and Dolma ship the same filters). Complements the
+n-gram duplication ratio text_metrics already carries — pages whose
+boilerplate survives extraction repeat whole LINES (nav strips, cookie
+banners), which word-shingle ratios under-weight.
+
+Spark-first shape: every metric is a pure column expression over one
+scan — split to a segment array, trim/drop empties, then compare the
+array against its distinct form (counts AND character sums via
+higher-order functions). No explode, no shuffle, no UDF: the signals
+ride along any other one-scan flag computation at 100 TB.
+
+Reference analog: the boilerplate/density classification this engine's
+kernel does per page (`kernel/classify.py`); these signals catch what
+survives it, corpus-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Gopher rule-pack thresholds: a document fails when MORE than this
+# fraction of its lines/paragraphs (or their characters) are duplicate
+# copies beyond the first occurrence.
+DUP_LINE_FRAC_MAX = 0.30
+DUP_PARA_FRAC_MAX = 0.30
+DUP_LINE_CHAR_FRAC_MAX = 0.20
+DUP_PARA_CHAR_FRAC_MAX = 0.20
+
+
+def _segments(text: Column, sep_regex: str) -> Column:
+    """Split on the separator regex, trim each piece, drop empties —
+    the segment definition BOTH engines implement identically (the
+    oracle twin uses string_split / string_split_regex + trim)."""
+    parts = F.split(text, sep_regex)
+    return F.filter(
+        F.transform(parts, lambda p: F.trim(p)),
+        lambda p: p != F.lit(""),
+    )
+
+
+def _char_sum(segs: Column) -> Column:
+    return F.aggregate(
+        F.transform(segs, lambda s: F.length(s).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dup_metrics(segs: Column) -> tuple[Column, Column, Column]:
+    """(n_segments, dup_frac, dup_char_frac): duplicates are the copies
+    beyond the first occurrence (n - n_distinct), char mass likewise
+    (total chars - chars of the distinct set). Zero segments -> 0.0
+    fractions (no signal)."""
+    n = F.size(segs).cast("long")
+    nd = F.size(F.array_distinct(segs)).cast("long")
+    chars = _char_sum(segs)
+    chars_d = _char_sum(F.array_distinct(segs))
+    frac = F.round(
+        F.when(n > 0, (n - nd).cast("double") / n).otherwise(0.0), 6
+    )
+    cfrac = F.round(
+        F.when(chars > 0, (chars - chars_d).cast("double") / chars)
+        .otherwise(0.0),
+        6,
+    )
+    return n, frac, cfrac
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, n_lines, dup_line_frac, dup_line_char_frac, n_paras,
+    dup_para_frac, dup_para_char_frac). Lines split on single newlines,
+    paragraphs on blank-line runs; NULL text degrades to the empty
+    document (the repo-wide posture)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ln, lf, lcf = _dup_metrics(_segments(t, r"\n"))
+    pn, pf, pcf = _dup_metrics(_segments(t, r"\n\n+"))
+    return df.select(
+        F.col(id_col),
+        ln.alias("n_lines"),
+        lf.alias("dup_line_frac"),
+        lcf.alias("dup_line_char_frac"),
+        pn.alias("n_paras"),
+        pf.alias("dup_para_frac"),
+        pcf.alias("dup_para_char_frac"),
+    )
+
+
+def rep_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Funnel stage: (id, pass_rep) — true when every repetition signal
+    is under its Gopher threshold. Documents with no line structure at
+    all pass trivially (every fraction is 0)."""
+    m = repetition_metrics(df, id_col=id_col, text_col=text_col)
+    return m.select(
+        F.col(id_col),
+        (
+            (F.col("dup_line_frac") <= DUP_LINE_FRAC_MAX)
+            & (F.col("dup_para_frac") <= DUP_PARA_FRAC_MAX)
+            & (F.col("dup_line_char_frac") <= DUP_LINE_CHAR_FRAC_MAX)
+            & (F.col("dup_para_char_frac") <= DUP_PARA_CHAR_FRAC_MAX)
+        ).alias("pass_rep"),
+    )

@@ -301,6 +301,16 @@ def run_pipeline(
                 ),
                 "url",
             )
+        if "rep" in rules:
+            from .operators.repetition import rep_flags
+
+            # Gopher repetition stage (r5): duplicate line/para caps —
+            # pure column expressions, rides the same scan shape as the
+            # heuristic flags
+            flags = flags.join(
+                rep_flags(extracted, id_col="url", text_col="main_text"),
+                "url",
+            )
         if "lm" in rules:
             from .operators.curate import lm_flags
 

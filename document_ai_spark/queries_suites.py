@@ -258,8 +258,55 @@ def _q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REP_LINE_WORDS = 8  # words per constructed line in the repetition branch
+
+
+def _rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text has NO newline structure, so the repetition branch
+    constructs it deterministically (the injected-passage trick): lines
+    of REP_LINE_WORDS words split into two '\\n\\n'-separated halves,
+    with PLANTED duplication — doc_id % 4 extra copies of line 1
+    appended to the second half, and the first half repeated as a third
+    paragraph when doc_id % 5 == 2. Every fraction the operator reports
+    is then a pure function the DuckDB twin recomputes."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = _norm_words()
+    n = F.size(w)
+    nl = F.floor((n + (REP_LINE_WORDS - 1)) / F.lit(float(REP_LINE_WORDS)))
+    nl = nl.cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(w, i * REP_LINE_WORDS + 1, REP_LINE_WORDS)
+        ),
+    )
+    h = F.floor(nl / F.lit(2.0)).cast("int")
+    k = (F.col("doc_id") % 4).cast("int")
+    s1 = F.concat_ws("\n", F.slice(lines, F.lit(1), h))
+    s2 = F.concat_ws(
+        "\n",
+        F.concat(
+            F.slice(lines, h + 1, nl - h),
+            F.array_repeat(F.element_at(lines, 1), k),
+        ),
+    )
+    text = F.when(
+        F.col("doc_id") % 5 == 2,
+        F.concat_ws("\n\n", s1, s2, s1),
+    ).otherwise(F.concat_ws("\n\n", s1, s2))
+    return d.select("doc_id", text.alias("text"))
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (operators/repetition) over the
+    constructed line-structured corpus — the REAL operator, per-doc."""
+    from .operators.repetition import repetition_metrics
+
+    return repetition_metrics(_rep_corpus(spark, sf_dir))
+
+
 def q_relational_demo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Union of 15 demos normalized to (section, k, v_num, v_str). Each
+    """Union of 16 demos normalized to (section, k, v_num, v_str). Each
     branch is the unchanged original query/operator (operator identity
     preserved — e.g. the pivot branch still runs a real pivot, the
     chunking branch runs the real chunk_documents operator), only the
@@ -272,7 +319,8 @@ def q_relational_demo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every keep/copy decision), crawl_diff (per-url status + both
     set-hashes), quality_clf (exact count + bounded-error separation
     boolean), passage_excision (exact-substring removal, per-doc
-    cleaned text md5-checked)."""
+    cleaned text md5-checked), repetition (Gopher duplicate-line/
+    paragraph fractions over a planted line-structured corpus)."""
 
     def tag(name: str) -> F.Column:
         return F.lit(name).alias("section")
@@ -375,9 +423,29 @@ def q_relational_demo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ":", F.md5(F.encode("clean_text", "UTF-8")), "n_spans"
         ).alias("v_str"),
     )
+
+    def _micro(c: str) -> F.Column:
+        # fraction -> exact integer micro-units for the v_str hash:
+        # double-to-string FORMATTING differs between engines
+        # (1e-6 renders '1.0E-6' in Spark, '0.000001' in DuckDB)
+        return F.round(F.col(c) * 1_000_000).cast("long")
+
+    rp = _q_repetition(spark, sf_dir).select(
+        tag("repetition"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("dup_line_frac").alias("v_num"),
+        F.concat_ws(
+            ":",
+            "n_lines",
+            _micro("dup_line_char_frac"),
+            "n_paras",
+            _micro("dup_para_frac"),
+            _micro("dup_para_char_frac"),
+        ).alias("v_str"),
+    )
     out = cs
     for branch in (pv, ds, sq, so, sa, np_, do, sp, ck, ql, dm, cd, qc,
-                   px):
+                   px, rp):
         out = out.unionByName(branch)
     return out
 
@@ -651,6 +719,86 @@ FROM nrm n LEFT JOIN reb r ON n.doc_id = r.doc_id
 """
 
 
+# DuckDB twin of the repetition branch: reconstruct the SAME planted
+# corpus (lines of REP_LINE_WORDS words, two-paragraph split, doc_id%4
+# extra copies of line 1, doc_id%5==2 repeats paragraph 1), then
+# recompute every duplicate-line/paragraph fraction from first
+# principles. list_sum over an empty list is NULL in DuckDB — COALESCE
+# to 0 to match Spark's aggregate() with a 0 seed.
+_SQL_REPETITION = rf"""
+WITH b AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+c AS (
+  SELECT doc_id, w,
+         CAST(floor((len(w) + {REP_LINE_WORDS - 1})
+                    / {REP_LINE_WORDS}.0) AS INT) AS nl
+  FROM b),
+l AS (
+  SELECT doc_id, nl, CAST(floor(nl / 2.0) AS INT) AS h,
+         CAST(doc_id % 4 AS INT) AS k,
+         list_transform(generate_series(0, nl - 1),
+           i -> array_to_string(
+                  w[i * {REP_LINE_WORDS} + 1 :
+                    i * {REP_LINE_WORDS} + {REP_LINE_WORDS}], ' '))
+             AS lines
+  FROM c),
+t AS (
+  SELECT doc_id,
+         array_to_string(lines[1:h], chr(10)) AS s1,
+         array_to_string(
+           lines[h + 1:nl]
+             || list_transform(generate_series(1, k), x -> lines[1]),
+           chr(10)) AS s2
+  FROM l),
+r AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 2
+              THEN s1 || chr(10) || chr(10) || s2
+                      || chr(10) || chr(10) || s1
+              ELSE s1 || chr(10) || chr(10) || s2 END AS text
+  FROM t),
+m AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)),
+                               x -> trim(x)), x -> x <> '') AS ls,
+    list_filter(list_transform(string_split_regex(text, '\n\n+'),
+                               x -> trim(x)), x -> x <> '') AS ps
+  FROM r),
+f AS (
+  SELECT doc_id,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS d_lines,
+    CAST(COALESCE(list_sum(list_transform(ls, x -> length(x))), 0)
+         AS BIGINT) AS lc,
+    CAST(COALESCE(list_sum(list_transform(list_distinct(ls),
+                                          x -> length(x))), 0)
+         AS BIGINT) AS lcd,
+    CAST(len(ps) AS BIGINT) AS n_paras,
+    CAST(len(ps) - len(list_distinct(ps)) AS BIGINT) AS d_paras,
+    CAST(COALESCE(list_sum(list_transform(ps, x -> length(x))), 0)
+         AS BIGINT) AS pc,
+    CAST(COALESCE(list_sum(list_transform(list_distinct(ps),
+                                          x -> length(x))), 0)
+         AS BIGINT) AS pcd
+  FROM m)
+SELECT doc_id, n_lines,
+  round(CASE WHEN n_lines > 0
+        THEN CAST(d_lines AS DOUBLE) / n_lines ELSE 0.0 END, 6)
+      AS dup_line_frac,
+  round(CASE WHEN lc > 0
+        THEN CAST(lc - lcd AS DOUBLE) / lc ELSE 0.0 END, 6)
+      AS dup_line_char_frac,
+  n_paras,
+  round(CASE WHEN n_paras > 0
+        THEN CAST(d_paras AS DOUBLE) / n_paras ELSE 0.0 END, 6)
+      AS dup_para_frac,
+  round(CASE WHEN pc > 0
+        THEN CAST(pc - pcd AS DOUBLE) / pc ELSE 0.0 END, 6)
+      AS dup_para_char_frac
+FROM f
+"""
+
+
 SQL_RELATIONAL_DEMO_SUITE = f"""
 SELECT 'collect_statuses' AS section, o_orderpriority AS k,
        CAST(n AS DOUBLE) AS v_num, statuses AS v_str
@@ -710,6 +858,17 @@ SELECT 'passage_excision', CAST(doc_id AS VARCHAR),
        CAST(chars_removed AS DOUBLE),
        md5(clean_text) || ':' || CAST(n_spans AS VARCHAR)
 FROM ({_sql_passage_excision()})
+UNION ALL
+SELECT 'repetition', CAST(doc_id AS VARCHAR), dup_line_frac,
+       CAST(n_lines AS VARCHAR)
+       || ':' || CAST(CAST(round(dup_line_char_frac * 1000000)
+                           AS BIGINT) AS VARCHAR)
+       || ':' || CAST(n_paras AS VARCHAR)
+       || ':' || CAST(CAST(round(dup_para_frac * 1000000)
+                           AS BIGINT) AS VARCHAR)
+       || ':' || CAST(CAST(round(dup_para_char_frac * 1000000)
+                           AS BIGINT) AS VARCHAR)
+FROM ({_SQL_REPETITION})
 """
 
 

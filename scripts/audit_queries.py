@@ -42,7 +42,7 @@ SCAN_ALLOWLIST = {
     "embedding_near_dup_pairs": 4,  # tagged union of the baseline (2
                                 # scans) and LSH (2 scans) variants — each
                                 # branch is already scan-minimal
-    "relational_demo_suite": 23,  # driver-window consolidation: 8 demo
+    "relational_demo_suite": 24,  # driver-window consolidation: 8 demo
                                 # branches over SMALL dims (orders/
                                 # customer/part/supplier); each branch IS
                                 # its operator (set ops alone are 3 scans)
@@ -66,7 +66,10 @@ SCAN_ALLOWLIST = {
                                 # runs eagerly outside the returned
                                 # plan), passage_excision 0 (reads the
                                 # same localCheckpointed fingerprint
-                                # map as shared_passages)
+                                # map as shared_passages).
+                                # r5b: +1 for the repetition branch
+                                # (one documents scan; all metrics are
+                                # column expressions over it)
     "sessionize": 2,            # two sessionization forms over events
     "doc_signatures": 3,        # fingerprint (shingle explode) + entropy
                                 # (char explode) branches joined per doc —

@@ -145,7 +145,7 @@ def test_suite_row_counts_match_members(spark):
         SU._q_shared_passages, SU._q_chunking,
         # r5 corpus-ops branches
         SU._q_quality_lm, SU._q_domain_mixture, SU._q_crawl_diff,
-        SU._q_quality_clf, SU._q_passage_excision,
+        SU._q_quality_clf, SU._q_passage_excision, SU._q_repetition,
     ]
     assert suite_n == sum(m(spark, SF).count() for m in members)
 
