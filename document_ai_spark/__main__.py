@@ -285,24 +285,19 @@ def cmd_curate(args) -> int:
     # url-unique inputs skip the window; inputs with recrawls pay it
     # ONCE via localCheckpoint — left lazy it re-runs per flag consumer
     extracted, _collapse_mode = adaptive_collapse(spark, args.extracted)
-    flags = curation_flags(
-        extracted, id_col="url", text_col="main_text", lang_col=None
-    )
     rules = tuple(r.strip() for r in args.rules.split(",") if r.strip())
+    # the rep flag (Gopher duplicate line/paragraph caps, r5) is a pure
+    # column expression — ride the same single scan, never a join
+    flags = curation_flags(
+        extracted, id_col="url", text_col="main_text", lang_col=None,
+        include_rep="rep" in rules,
+    )
     if "neardup" in rules:
         # fuzzy-dedup stage: MinHash/LSH cluster keepers (r3)
         flags = flags.join(
             neardup_keeper_flags(
                 extracted, id_col="url", text_col="main_text"
             ),
-            "url",
-        )
-    if "rep" in rules:
-        # Gopher repetition stage (r5): duplicate line/paragraph caps
-        from document_ai_spark.operators.repetition import rep_flags
-
-        flags = flags.join(
-            rep_flags(extracted, id_col="url", text_col="main_text"),
             "url",
         )
     if "lm" in rules:

@@ -28,10 +28,14 @@ def curation_flags(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str | None = "lang",
+    include_rep: bool = False,
 ) -> DataFrame:
     """One scan -> (id, n_tokens, pass_dedup, pass_quality, pass_gopher
-    [, pass_lang]). pass_lang (language-ID agreement) is emitted only when
-    a ground-truth lang column is available."""
+    [, pass_lang][, pass_rep]). pass_lang (language-ID agreement) is
+    emitted only when a ground-truth lang column is available.
+    include_rep=True appends the Gopher repetition flag (r5) IN the same
+    scan — it is a pure column expression, so the funnel verbs ask for
+    it here instead of paying a second text scan + id join."""
     t = F.col(text_col)
     words = F.split(F.regexp_replace(F.trim(t), r"\s+", " "), " ")
     n_tokens = F.size(words).cast("long")
@@ -89,6 +93,10 @@ def curation_flags(
             .otherwise("es")
         )
         cols.append((pred_lang == F.col(lang_col)).alias("pass_lang"))
+    if include_rep:
+        from .repetition import rep_pass_expr
+
+        cols.append(rep_pass_expr(t).alias("pass_rep"))
     flags = df.select(*cols)
     w = W.partitionBy("_text_hash")
     return flags.withColumn(

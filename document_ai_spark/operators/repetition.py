@@ -92,6 +92,22 @@ def repetition_metrics(
     )
 
 
+def rep_pass_expr(text: Column) -> Column:
+    """pass_rep as ONE column expression over the raw text — so the
+    funnel verbs can ride it along curation_flags' single scan instead
+    of paying a second main_text scan + url join (every signal is
+    select-only, unlike neardup/lm/clf which need their own jobs)."""
+    t = F.coalesce(text, F.lit(""))
+    _, lf, lcf = _dup_metrics(_segments(t, r"\n"))
+    _, pf, pcf = _dup_metrics(_segments(t, r"\n\n+"))
+    return (
+        (lf <= DUP_LINE_FRAC_MAX)
+        & (pf <= DUP_PARA_FRAC_MAX)
+        & (lcf <= DUP_LINE_CHAR_FRAC_MAX)
+        & (pcf <= DUP_PARA_CHAR_FRAC_MAX)
+    )
+
+
 def rep_flags(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -100,13 +116,7 @@ def rep_flags(
     """Funnel stage: (id, pass_rep) — true when every repetition signal
     is under its Gopher threshold. Documents with no line structure at
     all pass trivially (every fraction is 0)."""
-    m = repetition_metrics(df, id_col=id_col, text_col=text_col)
-    return m.select(
+    return df.select(
         F.col(id_col),
-        (
-            (F.col("dup_line_frac") <= DUP_LINE_FRAC_MAX)
-            & (F.col("dup_para_frac") <= DUP_PARA_FRAC_MAX)
-            & (F.col("dup_line_char_frac") <= DUP_LINE_CHAR_FRAC_MAX)
-            & (F.col("dup_para_char_frac") <= DUP_PARA_CHAR_FRAC_MAX)
-        ).alias("pass_rep"),
+        rep_pass_expr(F.col(text_col)).alias("pass_rep"),
     )

@@ -289,8 +289,12 @@ def run_pipeline(
         extracted, collapse_mode = adaptive_collapse(
             spark, extracted_dir, _sub(workdir, "collapsed")
         )
+        # the rep flag (Gopher duplicate line/paragraph caps, r5) is a
+        # pure column expression — ride the same single scan, never a
+        # second main_text scan + url join
         flags = curation_flags(
-            extracted, id_col="url", text_col="main_text", lang_col=None
+            extracted, id_col="url", text_col="main_text", lang_col=None,
+            include_rep="rep" in rules,
         )
         if "neardup" in rules:
             from .operators.curate import neardup_keeper_flags
@@ -299,16 +303,6 @@ def run_pipeline(
                 neardup_keeper_flags(
                     extracted, id_col="url", text_col="main_text"
                 ),
-                "url",
-            )
-        if "rep" in rules:
-            from .operators.repetition import rep_flags
-
-            # Gopher repetition stage (r5): duplicate line/para caps —
-            # pure column expressions, rides the same scan shape as the
-            # heuristic flags
-            flags = flags.join(
-                rep_flags(extracted, id_col="url", text_col="main_text"),
                 "url",
             )
         if "lm" in rules:

@@ -270,7 +270,10 @@ def _rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraph when doc_id % 5 == 2. Every fraction the operator reports
     is then a pure function the DuckDB twin recomputes."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    w = _norm_words()
+    # NULL text degrades to the empty document in BOTH twins (Spark's
+    # concat_ws would silently swallow a NULL; DuckDB's || propagates it
+    # — without the coalesce the two engines diverge on a NULL row)
+    w = _norm_words(F.coalesce(F.col("text"), F.lit("")))
     n = F.size(w)
     nl = F.floor((n + (REP_LINE_WORDS - 1)) / F.lit(float(REP_LINE_WORDS)))
     nl = nl.cast("int")
@@ -727,7 +730,8 @@ FROM nrm n LEFT JOIN reb r ON n.doc_id = r.doc_id
 # to 0 to match Spark's aggregate() with a 0 seed.
 _SQL_REPETITION = rf"""
 WITH b AS (
-  SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+  SELECT doc_id, {_SQL_WORDS} AS w
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
 c AS (
   SELECT doc_id, w,
          CAST(floor((len(w) + {REP_LINE_WORDS - 1})
