@@ -28,6 +28,12 @@ DUP_LINE_FRAC_MAX = 0.30
 DUP_PARA_FRAC_MAX = 0.30
 DUP_LINE_CHAR_FRAC_MAX = 0.20
 DUP_PARA_CHAR_FRAC_MAX = 0.20
+# ... and the line-SHAPE caps from the same pack: mostly-bullet and
+# mostly-ellipsis documents are listings/truncation artifacts, not prose
+BULLET_LINE_FRAC_MAX = 0.90
+ELLIPSIS_LINE_FRAC_MAX = 0.30
+_BULLET_PREFIXES = ("-", "*", "•")  # -, *, •
+_ELLIPSIS_SUFFIXES = ("...", "…")  # ..., …
 
 
 def _segments(text: Column, sep_regex: str) -> Column:
@@ -69,18 +75,51 @@ def _dup_metrics(segs: Column) -> tuple[Column, Column, Column]:
     return n, frac, cfrac
 
 
+def _shape_fracs(segs: Column) -> tuple[Column, Column]:
+    """(bullet_line_frac, ellipsis_line_frac): fraction of lines that
+    START with a bullet marker / END with an ellipsis. Zero lines ->
+    0.0 (no signal)."""
+    n = F.size(segs).cast("long")
+
+    def frac_of(pred) -> Column:
+        return F.round(
+            F.when(
+                n > 0,
+                F.size(F.filter(segs, pred)).cast("double") / n,
+            ).otherwise(0.0),
+            6,
+        )
+
+    def is_bullet(s: Column) -> Column:
+        c = F.lit(False)
+        for p in _BULLET_PREFIXES:
+            c = c | s.startswith(p)
+        return c
+
+    def is_ellipsis(s: Column) -> Column:
+        c = F.lit(False)
+        for p in _ELLIPSIS_SUFFIXES:
+            c = c | s.endswith(p)
+        return c
+
+    return frac_of(is_bullet), frac_of(is_ellipsis)
+
+
 def repetition_metrics(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """-> (id, n_lines, dup_line_frac, dup_line_char_frac, n_paras,
-    dup_para_frac, dup_para_char_frac). Lines split on single newlines,
-    paragraphs on blank-line runs; NULL text degrades to the empty
-    document (the repo-wide posture)."""
+    dup_para_frac, dup_para_char_frac, bullet_line_frac,
+    ellipsis_line_frac). Lines split on single newlines, paragraphs on
+    blank-line runs; NULL text degrades to the empty document (the
+    repo-wide posture)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    ln, lf, lcf = _dup_metrics(_segments(t, r"\n"))
+    lines = _segments(t, r"\n")
+    ln, lf, lcf = _dup_metrics(lines)
     pn, pf, pcf = _dup_metrics(_segments(t, r"\n\n+"))
+    bf, ef = _shape_fracs(lines)
     return df.select(
         F.col(id_col),
         ln.alias("n_lines"),
@@ -89,6 +128,8 @@ def repetition_metrics(
         pn.alias("n_paras"),
         pf.alias("dup_para_frac"),
         pcf.alias("dup_para_char_frac"),
+        bf.alias("bullet_line_frac"),
+        ef.alias("ellipsis_line_frac"),
     )
 
 
@@ -98,13 +139,17 @@ def rep_pass_expr(text: Column) -> Column:
     of paying a second main_text scan + url join (every signal is
     select-only, unlike neardup/lm/clf which need their own jobs)."""
     t = F.coalesce(text, F.lit(""))
-    _, lf, lcf = _dup_metrics(_segments(t, r"\n"))
+    lines = _segments(t, r"\n")
+    _, lf, lcf = _dup_metrics(lines)
     _, pf, pcf = _dup_metrics(_segments(t, r"\n\n+"))
+    bf, ef = _shape_fracs(lines)
     return (
         (lf <= DUP_LINE_FRAC_MAX)
         & (pf <= DUP_PARA_FRAC_MAX)
         & (lcf <= DUP_LINE_CHAR_FRAC_MAX)
         & (pcf <= DUP_PARA_CHAR_FRAC_MAX)
+        & (bf <= BULLET_LINE_FRAC_MAX)
+        & (ef <= ELLIPSIS_LINE_FRAC_MAX)
     )
 
 

@@ -267,8 +267,10 @@ def _rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     of REP_LINE_WORDS words split into two '\\n\\n'-separated halves,
     with PLANTED duplication — doc_id % 4 extra copies of line 1
     appended to the second half, and the first half repeated as a third
-    paragraph when doc_id % 5 == 2. Every fraction the operator reports
-    is then a pure function the DuckDB twin recomputes."""
+    paragraph when doc_id % 5 == 2 — and PLANTED line shapes: a bullet
+    prefix on line index 1 when doc_id % 3 == 1, an ellipsis suffix on
+    line index 0 when doc_id % 7 == 3. Every fraction the operator
+    reports is then a pure function the DuckDB twin recomputes."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # NULL text degrades to the empty document in BOTH twins (Spark's
     # concat_ws would silently swallow a NULL; DuckDB's || propagates it
@@ -277,12 +279,23 @@ def _rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(w)
     nl = F.floor((n + (REP_LINE_WORDS - 1)) / F.lit(float(REP_LINE_WORDS)))
     nl = nl.cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), nl - 1),
-        lambda i: F.concat_ws(
+    def _line(i: F.Column) -> F.Column:
+        base = F.concat_ws(
             " ", F.slice(w, i * REP_LINE_WORDS + 1, REP_LINE_WORDS)
-        ),
-    )
+        )
+        return (
+            F.when(
+                (F.col("doc_id") % 3 == 1) & (i == 1),
+                F.concat(F.lit("- "), base),
+            )
+            .when(
+                (F.col("doc_id") % 7 == 3) & (i == 0),
+                F.concat(base, F.lit("...")),
+            )
+            .otherwise(base)
+        )
+
+    lines = F.transform(F.sequence(F.lit(0), nl - 1), _line)
     h = F.floor(nl / F.lit(2.0)).cast("int")
     k = (F.col("doc_id") % 4).cast("int")
     s1 = F.concat_ws("\n", F.slice(lines, F.lit(1), h))
@@ -444,6 +457,8 @@ def q_relational_demo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_paras",
             _micro("dup_para_frac"),
             _micro("dup_para_char_frac"),
+            _micro("bullet_line_frac"),
+            _micro("ellipsis_line_frac"),
         ).alias("v_str"),
     )
     out = cs
@@ -741,9 +756,20 @@ l AS (
   SELECT doc_id, nl, CAST(floor(nl / 2.0) AS INT) AS h,
          CAST(doc_id % 4 AS INT) AS k,
          list_transform(generate_series(0, nl - 1),
-           i -> array_to_string(
-                  w[i * {REP_LINE_WORDS} + 1 :
-                    i * {REP_LINE_WORDS} + {REP_LINE_WORDS}], ' '))
+           i -> CASE
+                  WHEN doc_id % 3 = 1 AND i = 1
+                  THEN '- ' || array_to_string(
+                         w[i * {REP_LINE_WORDS} + 1 :
+                           i * {REP_LINE_WORDS} + {REP_LINE_WORDS}], ' ')
+                  WHEN doc_id % 7 = 3 AND i = 0
+                  THEN array_to_string(
+                         w[i * {REP_LINE_WORDS} + 1 :
+                           i * {REP_LINE_WORDS} + {REP_LINE_WORDS}], ' ')
+                       || '...'
+                  ELSE array_to_string(
+                         w[i * {REP_LINE_WORDS} + 1 :
+                           i * {REP_LINE_WORDS} + {REP_LINE_WORDS}], ' ')
+                END)
              AS lines
   FROM c),
 t AS (
@@ -783,7 +809,11 @@ f AS (
          AS BIGINT) AS pc,
     CAST(COALESCE(list_sum(list_transform(list_distinct(ps),
                                           x -> length(x))), 0)
-         AS BIGINT) AS pcd
+         AS BIGINT) AS pcd,
+    CAST(len(list_filter(ls, x -> x LIKE '-%' OR x LIKE '*%'
+                                  OR x LIKE '•%')) AS BIGINT) AS nb,
+    CAST(len(list_filter(ls, x -> x LIKE '%...' OR x LIKE '%…'))
+         AS BIGINT) AS ne
   FROM m)
 SELECT doc_id, n_lines,
   round(CASE WHEN n_lines > 0
@@ -798,7 +828,13 @@ SELECT doc_id, n_lines,
       AS dup_para_frac,
   round(CASE WHEN pc > 0
         THEN CAST(pc - pcd AS DOUBLE) / pc ELSE 0.0 END, 6)
-      AS dup_para_char_frac
+      AS dup_para_char_frac,
+  round(CASE WHEN n_lines > 0
+        THEN CAST(nb AS DOUBLE) / n_lines ELSE 0.0 END, 6)
+      AS bullet_line_frac,
+  round(CASE WHEN n_lines > 0
+        THEN CAST(ne AS DOUBLE) / n_lines ELSE 0.0 END, 6)
+      AS ellipsis_line_frac
 FROM f
 """
 
@@ -871,6 +907,10 @@ SELECT 'repetition', CAST(doc_id AS VARCHAR), dup_line_frac,
        || ':' || CAST(CAST(round(dup_para_frac * 1000000)
                            AS BIGINT) AS VARCHAR)
        || ':' || CAST(CAST(round(dup_para_char_frac * 1000000)
+                           AS BIGINT) AS VARCHAR)
+       || ':' || CAST(CAST(round(bullet_line_frac * 1000000)
+                           AS BIGINT) AS VARCHAR)
+       || ':' || CAST(CAST(round(ellipsis_line_frac * 1000000)
                            AS BIGINT) AS VARCHAR)
 FROM ({_SQL_REPETITION})
 """

@@ -74,6 +74,97 @@ def test_rep_flags_threshold(spark):
     assert rows == {1: False, 2: True}
 
 
+def test_bullet_and_ellipsis_line_fractions(spark):
+    r = _metrics(
+        spark,
+        "- item one\n* item two\nplain prose line\ntruncated line...\n"
+        "unicode ellipsis…",
+    )
+    assert r.n_lines == 5
+    assert r.bullet_line_frac == 0.4  # '-' and '*'
+    assert r.ellipsis_line_frac == 0.4  # '...' and '…'
+
+
+def test_rep_flags_bullet_threshold(spark):
+    # 10 lines all bullets -> 1.0 > 0.9 fails; 8/10 passes
+    all_b = "\n".join(f"- item {i}" for i in range(10))
+    most_b = "\n".join(
+        [f"- item {i}" for i in range(8)] + ["prose one", "prose two"]
+    )
+    df = spark.createDataFrame(
+        [(1, all_b), (2, most_b)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.pass_rep for r in rep_flags(df).collect()}
+    assert rows == {1: False, 2: True}
+
+
+def _py_reference(text):
+    """Straight-line Python reference for the metric definitions.
+    NOTE trim is SPACE-only (Spark trim == DuckDB trim): a paragraph
+    piece like ' \\n alpha' keeps its inner/edge newlines in the char
+    counts — Python's .strip() would disagree with both engines."""
+    def segs(parts):
+        return [
+            p.strip(" ") for p in parts if p.strip(" ") != ""
+        ]
+
+    import re
+
+    ls = segs(text.split("\n"))
+    ps = segs(re.split(r"\n\n+", text))
+    out = {}
+    for name, ss in (("line", ls), ("para", ps)):
+        n = len(ss)
+        nd = len(set(ss))
+        c = sum(len(s) for s in ss)
+        cd = sum(len(s) for s in set(ss))
+        out[f"n_{name}s"] = n
+        out[f"dup_{name}_frac"] = round((n - nd) / n, 6) if n else 0.0
+        out[f"dup_{name}_char_frac"] = (
+            round((c - cd) / c, 6) if c else 0.0
+        )
+    n = len(ls)
+    out["bullet_line_frac"] = (
+        round(sum(s.startswith(("-", "*", "•")) for s in ls) / n, 6)
+        if n else 0.0
+    )
+    out["ellipsis_line_frac"] = (
+        round(sum(s.endswith(("...", "…")) for s in ls) / n, 6)
+        if n else 0.0
+    )
+    return out
+
+
+def test_metrics_fuzz_vs_python_reference(spark):
+    """Property cross-check: the columnar metrics equal a straight-line
+    Python implementation over pseudo-random structured texts."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = ["alpha", "beta", "- dash", "* star", "dots...", "x…", ""]
+    docs = []
+    for i in range(60):
+        n = rng.randint(0, 12)
+        lines = [
+            " ".join(rng.choices(vocab, k=rng.randint(0, 4)))
+            for _ in range(n)
+        ]
+        sep = ["\n", "\n\n", "\n\n\n", " \n "]
+        text = ""
+        for j, ln in enumerate(lines):
+            text += ln
+            if j < n - 1:
+                text += rng.choice(sep)
+        docs.append((i, text))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in repetition_metrics(df).collect()}
+    for i, text in docs:
+        want = _py_reference(text)
+        have = got[i]
+        for k2, v in want.items():
+            assert have[k2] == v, (i, k2, v, have[k2], text)
+
+
 def test_pipeline_rep_rule(spark, corpus_dir, tmp_path):
     """The pipeline verb accepts `rep` in rules and survives end-to-end:
     the extracted datagen articles are line-structured but not
