@@ -190,6 +190,30 @@ def test_pipeline_rep_rule(spark, corpus_dir, tmp_path):
     assert summary["stages"]["curate"]["docs_kept"] > 0
 
 
+def test_include_rep_is_single_scan_no_join(spark, tmp_path):
+    """The rep flag must ride curation_flags' one scan: the physical
+    plan for include_rep=True has exactly one parquet scan and no join
+    (the first wiring paid a second main_text scan + url shuffle-join —
+    this pins the fix)."""
+    import os
+
+    from document_ai_spark.operators.curate import curation_flags
+
+    src = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("u1", "a b\nc d"), ("u2", "x y\nx y")],
+        "url string, main_text string",
+    ).write.parquet(src)
+    fl = curation_flags(
+        spark.read.parquet(src), id_col="url", text_col="main_text",
+        lang_col=None, include_rep=True,
+    )
+    plan = fl._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert os.path.basename(src) in plan  # it is OUR scan
+
+
 def test_funnel_rep_rung_and_kept(spark):
     from pyspark.sql import functions as F
 
