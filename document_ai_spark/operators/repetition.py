@@ -60,10 +60,11 @@ def _dup_metrics(segs: Column) -> tuple[Column, Column, Column]:
     beyond the first occurrence (n - n_distinct), char mass likewise
     (total chars - chars of the distinct set). Zero segments -> 0.0
     fractions (no signal)."""
+    dist = F.array_distinct(segs)
     n = F.size(segs).cast("long")
-    nd = F.size(F.array_distinct(segs)).cast("long")
+    nd = F.size(dist).cast("long")
     chars = _char_sum(segs)
-    chars_d = _char_sum(F.array_distinct(segs))
+    chars_d = _char_sum(dist)
     frac = F.round(
         F.when(n > 0, (n - nd).cast("double") / n).otherwise(0.0), 6
     )
@@ -105,6 +106,27 @@ def _shape_fracs(segs: Column) -> tuple[Column, Column]:
     return frac_of(is_bullet), frac_of(is_ellipsis)
 
 
+def _metric_exprs(text: Column) -> dict[str, Column]:
+    """All nine signal expressions over the raw text — the ONE
+    construction both repetition_metrics and rep_pass_expr consume, so
+    a signal added to the metrics cannot silently miss the flag."""
+    t = F.coalesce(text, F.lit(""))
+    lines = _segments(t, r"\n")
+    ln, lf, lcf = _dup_metrics(lines)
+    pn, pf, pcf = _dup_metrics(_segments(t, r"\n\n+"))
+    bf, ef = _shape_fracs(lines)
+    return {
+        "n_lines": ln,
+        "dup_line_frac": lf,
+        "dup_line_char_frac": lcf,
+        "n_paras": pn,
+        "dup_para_frac": pf,
+        "dup_para_char_frac": pcf,
+        "bullet_line_frac": bf,
+        "ellipsis_line_frac": ef,
+    }
+
+
 def repetition_metrics(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -115,21 +137,9 @@ def repetition_metrics(
     ellipsis_line_frac). Lines split on single newlines, paragraphs on
     blank-line runs; NULL text degrades to the empty document (the
     repo-wide posture)."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    lines = _segments(t, r"\n")
-    ln, lf, lcf = _dup_metrics(lines)
-    pn, pf, pcf = _dup_metrics(_segments(t, r"\n\n+"))
-    bf, ef = _shape_fracs(lines)
+    m = _metric_exprs(F.col(text_col))
     return df.select(
-        F.col(id_col),
-        ln.alias("n_lines"),
-        lf.alias("dup_line_frac"),
-        lcf.alias("dup_line_char_frac"),
-        pn.alias("n_paras"),
-        pf.alias("dup_para_frac"),
-        pcf.alias("dup_para_char_frac"),
-        bf.alias("bullet_line_frac"),
-        ef.alias("ellipsis_line_frac"),
+        F.col(id_col), *[c.alias(name) for name, c in m.items()]
     )
 
 
@@ -138,18 +148,14 @@ def rep_pass_expr(text: Column) -> Column:
     funnel verbs can ride it along curation_flags' single scan instead
     of paying a second main_text scan + url join (every signal is
     select-only, unlike neardup/lm/clf which need their own jobs)."""
-    t = F.coalesce(text, F.lit(""))
-    lines = _segments(t, r"\n")
-    _, lf, lcf = _dup_metrics(lines)
-    _, pf, pcf = _dup_metrics(_segments(t, r"\n\n+"))
-    bf, ef = _shape_fracs(lines)
+    m = _metric_exprs(text)
     return (
-        (lf <= DUP_LINE_FRAC_MAX)
-        & (pf <= DUP_PARA_FRAC_MAX)
-        & (lcf <= DUP_LINE_CHAR_FRAC_MAX)
-        & (pcf <= DUP_PARA_CHAR_FRAC_MAX)
-        & (bf <= BULLET_LINE_FRAC_MAX)
-        & (ef <= ELLIPSIS_LINE_FRAC_MAX)
+        (m["dup_line_frac"] <= DUP_LINE_FRAC_MAX)
+        & (m["dup_para_frac"] <= DUP_PARA_FRAC_MAX)
+        & (m["dup_line_char_frac"] <= DUP_LINE_CHAR_FRAC_MAX)
+        & (m["dup_para_char_frac"] <= DUP_PARA_CHAR_FRAC_MAX)
+        & (m["bullet_line_frac"] <= BULLET_LINE_FRAC_MAX)
+        & (m["ellipsis_line_frac"] <= ELLIPSIS_LINE_FRAC_MAX)
     )
 
 

@@ -277,8 +277,10 @@ def _rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — without the coalesce the two engines diverge on a NULL row)
     w = _norm_words(F.coalesce(F.col("text"), F.lit("")))
     n = F.size(w)
-    nl = F.floor((n + (REP_LINE_WORDS - 1)) / F.lit(float(REP_LINE_WORDS)))
-    nl = nl.cast("int")
+    nl = F.floor(
+        (n + (REP_LINE_WORDS - 1)) / F.lit(float(REP_LINE_WORDS))
+    ).cast("int")
+
     def _line(i: F.Column) -> F.Column:
         base = F.concat_ws(
             " ", F.slice(w, i * REP_LINE_WORDS + 1, REP_LINE_WORDS)
