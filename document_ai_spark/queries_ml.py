@@ -40,6 +40,7 @@ from .queries_base import (
     minhash_band_pairs,
     N_BANDS,
     N_MINHASH,
+    scan_fanout,
 )
 
 # text-analysis operators live in queries_text; re-exported here so the
@@ -117,7 +118,9 @@ FROM aug
 # --------------------------------------------------------------------------
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # r6: fan out the single-split documents scan so the shingle md5
+    # work runs at full width (guide §2.5; no-op on parallel layouts)
+    d = scan_fanout(_t(spark, sf_dir, "documents"))
     # materialize `words` once per row — inlining the split() inside the
     # transform() lambda re-evaluates it per element (O(words^2) per doc).
     # Shingles dedup PER DOC (array_distinct) instead of a global
@@ -229,7 +232,12 @@ def q_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     snip = d0.filter(F.col("doc_id") == 0).select(
         F.substring("text", 1, 120).alias("snip")
     )
-    d = d0.crossJoin(F.broadcast(snip)).select(
+    # fan out only the corpus side (r6): the probe/eval subplans below
+    # are built from the RAW scan — behind the fan-out exchange their
+    # one-/three-row filters would each pay a full repartition stage.
+    # The % 50 == 7 injection never touches docs 0-2, so the probe and
+    # eval shingle sets are identical either way.
+    d = scan_fanout(d0).crossJoin(F.broadcast(snip)).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 50 == 7,
@@ -239,11 +247,19 @@ def q_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.withColumn("words", _norm_words()).select(
         "doc_id", F.array_distinct(_shingles(F.col("words"))).alias("sh")
     )
-    probe = sh.filter(F.col("doc_id") == 0).select(
+    sh_small = (
+        d0.filter(F.col("doc_id") <= _DECON_EVAL_MAX_ID)
+        .withColumn("words", _norm_words())
+        .select(
+            "doc_id",
+            F.array_distinct(_shingles(F.col("words"))).alias("sh"),
+        )
+    )
+    probe = sh_small.filter(F.col("doc_id") == 0).select(
         F.col("sh").alias("probe_sh")
     )
     ev = (
-        sh.filter(F.col("doc_id") <= _DECON_EVAL_MAX_ID)
+        sh_small
         .select(F.explode("sh").alias("s"))
         .distinct()
         .agg(F.collect_set("s").alias("eval_sh"))
@@ -438,26 +454,29 @@ WHERE round(
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    tok = d.select(
+    # r6: fan out the single-split scan (guide §2.5) and read the 64
+    # hash bits from TWO conv()s of the md5 hex halves instead of 16
+    # per-nibble conv(substring) string ops — hi carries bits 63..32
+    # (first 8 hex chars, big-endian), lo bits 31..0, so
+    # bit i = (lo-or-hi >> (i % 32)) & 1 reproduces the old
+    # nibble-indexed read exactly (verified value-identical; each half
+    # is < 2^32 so the BIGINT cast of conv() never overflows).
+    tok = scan_fanout(d).select(
         "doc_id", F.explode(_norm_words()).alias("token")
     ).filter(F.col("token") != "")
-    hx = F.substring(F.md5(F.encode("token", "UTF-8")), 1, 16)
-    nibs = tok.select(
+    h = F.md5(F.encode("token", "UTF-8"))
+    parts = tok.select(
         "doc_id",
-        *[
-            F.conv(F.substring(hx, j + 1, 1), 16, 10).cast("int")
-            .alias(f"v{j}")
-            for j in range(16)
-        ],
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("lo"),
     )
-    votes = nibs.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.shiftright(F.col(f"v{15 - i // 4}"), i % 4)
-                .bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"s{i}")
-            for i in range(64)
-        ]
+
+    def _bit(i: int) -> F.Column:
+        src = F.col("lo") if i < 32 else F.col("hi")
+        return F.shiftright(src, i % 32).bitwiseAND(F.lit(1))
+
+    votes = parts.groupBy("doc_id").agg(
+        *[F.sum(_bit(i) * 2 - 1).alias(f"s{i}") for i in range(64)]
     )
     body = None
     for i in range(63):
@@ -906,7 +925,9 @@ _BMP_SUFFIXES = ["", "a", "b", "c", "d", "e"]
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import image_features
 
-    d = _t(spark, sf_dir, "documents")
+    # fan out the single-split scan: the per-row BMP decode is Python
+    # work that otherwise serializes on one task (guide §2.5)
+    d = scan_fanout(_t(spark, sf_dir, "documents"))
     hx = F.concat(
         *[
             F.md5(F.encode(F.concat(F.col("text"), F.lit(s)), "UTF-8"))

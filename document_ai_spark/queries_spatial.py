@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from .queries import _t
+from .queries_base import scan_fanout
 from .queries_ml import _SQL_WORDS, _norm_words
 
 # layout constants (shared by both engines; see _word_boxes)
@@ -95,21 +96,37 @@ def _next_right_relational(
 ) -> DataFrame:
     """Shared core: key located per (doc, key) as the first box in reading
     order matching exactly (fuzzy_margin None) or by levenshtein <=
-    fuzzy_margin; then the nearest-right y-overlapping candidate."""
+    fuzzy_margin; then the nearest-right y-overlapping candidate.
+
+    r6 plan shape (see plans/r06/next_right_word_2d_*.txt): the scan is
+    fanned out so the word-box explode runs at full width; the key-box
+    table kb (<= n_docs x n_keys rows) is materialized ONCE with
+    localCheckpoint — it feeds three joins, and as lazy lineage each
+    consumer re-ran the whole scan->explode->window subtree — and then
+    BROADCAST into the candidate join, so the full box side streams
+    map-side instead of being built into a corpus-sized broadcast
+    relation (the old plan broadcast every box of every document). The
+    sentinel joins broadcast kb/cand too: zero non-fanout exchanges."""
+    d = scan_fanout(d)
     boxes = _word_boxes(d)
     spark = d.sparkSession
     keys_df = F.broadcast(
         spark.createDataFrame([(k,) for k in keys], ["key"])
     )
     if fuzzy_margin is None:
-        match = F.lower(F.col("word")) == F.col("key")
+        # exact match needs no join at all: key = lower(word) when in
+        # the key set — one filter instead of a broadcast theta-join
+        kb0 = boxes.filter(F.lower(F.col("word")).isin(*keys)).withColumn(
+            "key", F.lower(F.col("word"))
+        )
     else:
         match = (
             F.levenshtein(F.lower(F.col("word")), F.col("key"))
             <= fuzzy_margin
         )
+        kb0 = boxes.join(keys_df, match)
     kb = (
-        boxes.join(keys_df, match)
+        kb0
         .withColumn(
             "rn",
             F.row_number().over(
@@ -122,6 +139,8 @@ def _next_right_relational(
             F.col("x_min").alias("kx_min"), F.col("x_max").alias("kx_max"),
             F.col("y_min").alias("ky_min"), F.col("y_max").alias("ky_max"),
         )
+        # <= one row per (doc, key): tiny, consumed by three joins below
+        .localCheckpoint(eager=True)
     )
     b = boxes.select(
         F.col("doc_id").alias("b_doc"), F.col("i").alias("bi"),
@@ -141,7 +160,7 @@ def _next_right_relational(
         F.sqrt((kcx - bcx) * (kcx - bcx) + (kcy - bcy) * (kcy - bcy)), 6
     )
     cand = (
-        kb.join(b, F.col("doc_id") == F.col("b_doc"))
+        b.join(F.broadcast(kb), F.col("b_doc") == F.col("doc_id"))
         .filter((overlap > 0) & (F.col("bx_min") > F.col("kx_min")))
         .withColumn("dist", dist)
         .filter(F.col("dist") < MAX_DIST)
@@ -157,8 +176,11 @@ def _next_right_relational(
     all_pairs = d.select("doc_id").crossJoin(keys_df)
     return (
         all_pairs
-        .join(kb.select("doc_id", "key", "ki"), ["doc_id", "key"], "left")
-        .join(cand, ["doc_id", "key"], "left")
+        .join(
+            F.broadcast(kb.select("doc_id", "key", "ki")),
+            ["doc_id", "key"], "left",
+        )
+        .join(F.broadcast(cand), ["doc_id", "key"], "left")
         .select(
             "doc_id", "key",
             F.when(F.col("ki").isNull(), F.lit("<NOT_FOUND>"))

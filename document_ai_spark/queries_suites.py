@@ -57,7 +57,13 @@ from .queries import (
     q_small_quantity_revenue,
     q_user_sessions,
 )
-from .queries_base import _norm_words, _shingles, _SQL_SHINGLES_FROM_WORDS, _SQL_WORDS
+from .queries_base import (
+    _norm_words,
+    _shingles,
+    _SQL_SHINGLES_FROM_WORDS,
+    _SQL_WORDS,
+    scan_fanout,
+)
 from .queries_ml import (
     SQL_EMBEDDING_NEAR_DUPS,
     SQL_EMBEDDING_NEAR_DUPS_LSH,
@@ -928,7 +934,11 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one documents scan: every metric is a column expression over the
     same materialized `words` array (the separate queries each re-scanned
     the corpus — this is the plan you'd actually run at 100 TB)."""
-    d = _t(spark, sf_dir, "documents").withColumn("words", _norm_words())
+    # fan out the single-split scan: the 11-regex metric pack is heavy
+    # per-row work (guide §2.5; no-op on parallel layouts)
+    d = scan_fanout(_t(spark, sf_dir, "documents")).withColumn(
+        "words", _norm_words()
+    )
     low = F.lower(F.col("text"))
     scores = [
         F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(1)))
@@ -1098,7 +1108,9 @@ def q_best_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     section is the old global query (lang='ALL'), the (lang) sections the
     old by-lang query — then melted and ranked per (lang, metric). One
     corpus pass instead of two."""
-    d = _t(spark, sf_dir, "documents")
+    # fan out the single-split scan: tokenize/punct regexes and the
+    # grid cross-join otherwise run on one task (guide §2.5)
+    d = scan_fanout(_t(spark, sf_dir, "documents"))
     n_tokens = F.size(_norm_words()).cast("long")
     n_punct = F.size(
         F.regexp_extract_all(F.col("text"), F.lit(r"([.,;:!?])"), F.lit(1))
