@@ -32,6 +32,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    warm: bool = True,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
@@ -85,4 +86,63 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if warm and not getattr(spark, "_das_warmed", False):
+        _warm_session(spark)
+        spark._das_warmed = True
     return spark
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """Warm the session's one-time machinery at creation (extending the
+    posture document_ai_spark/__main__.py's extract verb established: on
+    a real cluster these costs amortize over hours, so they belong to
+    session setup, not to whichever query happens to run first):
+
+      1. whole-stage codegen + hash aggregate + a shuffle exchange
+         (janino compiler init, shuffle writer/reader classloading);
+      2. a broadcast join (BroadcastExchange machinery);
+      3. one tiny parquet write + vectorized read (output committer and
+         parquet reader classloading);
+      4. an Arrow crossing with one task per core — pre-spawns the
+         Python worker pool, which otherwise serializes ~100 ms/worker
+         of interpreter+pyarrow startup into the first Python-stage job.
+
+    No user data is touched and nothing is cached — this initializes
+    infrastructure, never results. Failures are non-fatal: a warm-up
+    must never break a job."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    try:
+        par = spark.sparkContext.defaultParallelism
+        (
+            spark.range(0, 100_000, 1, 4)
+            .groupBy((F.col("id") % 97).alias("k"))
+            .count()
+            .join(F.broadcast(spark.range(97).selectExpr("id as k")), "k")
+            .write.format("noop").mode("overwrite").save()
+        )
+        td = tempfile.mkdtemp(prefix="das_warm_")
+        try:
+            spark.range(1024).withColumn(
+                "s", F.md5(F.col("id").cast("string"))
+            ).write.mode("overwrite").parquet(td)
+            spark.read.parquet(td).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
+        def _identity(batches):
+            for b in batches:
+                yield b
+
+        (
+            spark.range(0, 4 * par, 1, par)
+            .mapInArrow(_identity, schema="id long")
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception:
+        pass
