@@ -113,9 +113,14 @@ runtime — nothing in the query changes.
         "```\n" + plan(M.q_minhash_signatures(spark, sf)) + "\n```\n",
         """**Scale notes.** Shingling is pure column expressions
 (`transform`/`sequence` over a `words` array materialized once per row —
-inlining the split would be O(words^2) per doc). The only shuffles are the
-DISTINCT and the final per-doc aggregation, both on uniformly-distributed
-keys; the 8 minhash aggregates are one partial+final hash-aggregate pass.
+inlining the split would be O(words^2) per doc; shingles dedup PER DOC
+via array_distinct, never a global DISTINCT shuffle). The leading
+Exchange is the r6 adaptive scan fan-out (queries_base.scan_fanout):
+the testdata table is one file / one row group, so without it every
+shingle md5 ran on ONE task; on a many-file production layout the
+fan-out is a no-op and the plan starts at the scan. The per-doc
+aggregation is one partial+final pass on a uniform key; the 8 minhash
+aggregates share two md5s per shingle via codegen CSE.
 """,
         "## minhash_lsh_pairs — candidate pairs without a self-join\n",
         "```\n" + plan(M.q_minhash_lsh_pairs(spark, sf),
@@ -131,23 +136,29 @@ parameters), so the rewrite strictly removes work.
 """,
         "## next_right_word_2d — 2-D spatial nearest join (J2)\n",
         "```\n" + plan(SP.q_next_right_word_2d(spark, sf)) + "\n```\n",
-        """**Scale notes.** Word boxes are per-document; the key-box and
-candidate joins hash-partition on doc_id (uniform key, bounded per-page
-fan-in), the tiny key list broadcasts, and the argmin is a window
-row_number inside the same doc_id partitioning — two shuffles total
-regardless of corpus size. Locally the small side broadcasts; at 100 TB
-AQE flips the per-doc joins to sort-merge on the same key, plan unchanged.
-The fused in-kernel variant (operators/spatial.py) removes the self-join
-entirely for pipelines already grouped per page.
+        """**Scale notes.** r6 shape: ONE fanned-out scan feeds the box
+explode; the key-box table kb (<= n_docs x n_keys rows — for exact keys
+an `isin` filter, no join at all) is materialized once with
+localCheckpoint and BROADCAST into the candidate join, so the full box
+side streams map-side — the r5 plan instead built every box of every
+document into a broadcast relation and re-ran the explode three times
+(59-node plan, two SortMergeJoins; now 32 nodes, broadcast-only joins,
+zero non-fanout exchanges — see plans/r06/next_right_word_2d_*.txt).
+The argmin window runs inside the scan's doc_id partitioning
+(WindowGroupLimit, no extra shuffle). At 100 TB kb stays
+broadcast-sized while the box side is never shuffled or broadcast at
+all. The fused in-kernel variant (operators/spatial.py) removes even
+the kb join for pipelines already grouped per page.
 """,
         "## simhash — columnar bit-vote aggregation\n",
         "```\n" + plan(M.q_simhash(spark, sf),
                        keep=["ReadSchema"]) + "\n```\n",
-        """**Scale notes.** Tokens explode JVM-side (no Python), md5 and
-nibble extraction are codegen'd expressions, and the 64 bit-votes are one
-partial+final HashAggregate pass on doc_id — the shuffle carries 64 longs
-per document, not per token. The round-1 per-row/per-token Python md5
-loop is gone.
+        """**Scale notes.** Tokens explode JVM-side off the fanned-out
+scan (no Python); r6 reads the 64 hash bits from TWO conv()s of the md5
+hex halves (hi = bits 63..32, lo = 31..0) instead of 16 per-nibble
+conv(substring) string ops — value-identical, pinned by the per-token
+spec test. The 64 bit-votes are one partial+final HashAggregate pass on
+doc_id — the shuffle carries 64 longs per document, not per token.
 """,
         "## curation_funnel — single-scan multi-rule curation\n",
         "```\n" + plan(M.q_curation_funnel(spark, sf),
