@@ -313,8 +313,11 @@ def run_scaling(corpus: str) -> dict:
 
 # previous round's final commit — the interleaved A/B baseline (r4
 # verdict item 8: host speed drifts ±2x between rounds, so cross-round
-# comparisons must be measured in ONE session, adjacent in time)
-AB_REF_COMMIT = "984108a"
+# comparisons must be measured in ONE session, adjacent in time).
+# r6: bumped to round 5's last commit (35a9cb7); the driver's own round
+# timing uses the round-start copy of this file, so the bump only
+# affects in-repo A/B runs.
+AB_REF_COMMIT = "35a9cb7"
 
 
 def ab_vs_prev_round(corpus: str, n_pairs: int = 2) -> dict:
