@@ -142,18 +142,23 @@ def subword_token_counts(
     """-> (id, n_words, n_subwords) per document under the frozen word
     normalization. The BPE encode runs once per DISTINCT word; the
     corpus pays explode + join + one aggregate."""
-    # df feeds THREE subtrees (distinct-word table, join side, and the
-    # left-join base restoring empty docs); left lazy, the regex word
-    # split re-runs per subtree per action — materialize the normalized
-    # words array once (the multi-use-intermediate convention:
-    # quality_lm's vocab, passages' fingerprint map)
-    base = df.select(
-        F.col(id_col).alias("_id"), _norm_words(text_col).alias("_w")
-    ).localCheckpoint()
-    words = base.select(
-        "_id", F.explode("_w").alias("word")
+    # r6 (ADVICE): materialize the VOCABULARY-sized side, not the
+    # corpus. The old eager checkpoint of the per-doc words array
+    # stored roughly the whole corpus text in executor-local blocks to
+    # save a 2x regex-split recompute — the wrong trade at the 100 TB
+    # target. Checkpointing the distinct-word piece counts instead
+    # keeps the pandas-UDF BPE encode at once per distinct word (its
+    # lineage runs exactly once, at materialization) while the word
+    # split recomputes a bounded twice (distinct build + join side);
+    # the left-join base restoring empty docs needs only ids and reads
+    # the pruned scan directly.
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_norm_words(text_col)).alias("word"),
     ).filter(F.col("word") != "")
-    wp = word_piece_counts(words.select("word").distinct(), merges)
+    wp = word_piece_counts(
+        words.select("word").distinct(), merges
+    ).localCheckpoint(eager=True)
     per_doc = (
         words.join(wp, "word")
         .groupBy("_id")
@@ -163,7 +168,7 @@ def subword_token_counts(
         )
     )
     return (
-        base.select("_id")
+        df.select(F.col(id_col).alias("_id"))
         .join(per_doc, "_id", "left")
         .select(
             F.col("_id").alias(id_col),

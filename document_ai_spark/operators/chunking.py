@@ -110,24 +110,21 @@ def _chunk_by_subwords(
 
     from ..functions.subword import word_piece_counts
 
-    # the words subplan feeds TWO subtrees (the distinct-word table and
-    # the join side); left lazy, the regex word split runs twice per
-    # action — materialize the normalized words array once per doc (the
-    # multi-use-intermediate convention: quality_lm's vocab, passages'
-    # fingerprint map)
-    base = df.select(
+    # r6 (ADVICE): checkpoint the VOCABULARY-sized piece-count table,
+    # not the corpus-sized words array — the old eager checkpoint of
+    # the per-doc `_w` arrays stored ~the whole corpus text in
+    # executor-local blocks to save a 2x regex recompute; the bounded
+    # recompute (distinct build + join side) is the right trade at the
+    # 100 TB target, and the pandas-UDF BPE encode still runs exactly
+    # once per distinct word (its lineage materializes here)
+    words = df.select(
         F.col(id_col),
         *[F.col(c) for c in passthrough_cols],
-        _norm_words(text_col).alias("_w"),
-    ).localCheckpoint()
-    words = base.select(
-        F.col(id_col),
-        *[F.col(c) for c in passthrough_cols],
-        F.posexplode("_w").alias("pos", "word"),
+        F.posexplode(_norm_words(text_col)).alias("pos", "word"),
     )
     wp = word_piece_counts(
         words.select("word").distinct(), merges
-    )
+    ).localCheckpoint(eager=True)
     ww = words.join(wp, "word")
     wdoc = W.partitionBy(id_col).orderBy("pos")
     cum = F.sum("n_pieces").over(
