@@ -29,7 +29,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from .queries import _t
 from .queries_base import scan_fanout
@@ -125,20 +124,28 @@ def _next_right_relational(
             <= fuzzy_margin
         )
         kb0 = boxes.join(keys_df, match)
+    # first-in-reading-order per (doc, key) as a min_by aggregate (r6):
+    # `i` is unique per doc, so min_by(struct(boxes), i) is exactly the
+    # old row_number()=1 window, but it partial-aggregates map-side with
+    # no sort, and the fan-out's doc_id partitioning already satisfies
+    # the final aggregate's clustering — zero extra exchange
     kb = (
         kb0
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("doc_id", "key").orderBy("i")
-            ),
+        .groupBy("doc_id", "key")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("i").alias("ki"),
+                    F.col("x_min").alias("kx_min"),
+                    F.col("x_max").alias("kx_max"),
+                    F.col("y_min").alias("ky_min"),
+                    F.col("y_max").alias("ky_max"),
+                ),
+                F.col("i"),
+            ).alias("_kb")
         )
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id", "key", F.col("i").alias("ki"),
-            F.col("x_min").alias("kx_min"), F.col("x_max").alias("kx_max"),
-            F.col("y_min").alias("ky_min"), F.col("y_max").alias("ky_max"),
-        )
+        .select("doc_id", "key", "_kb.ki", "_kb.kx_min", "_kb.kx_max",
+                "_kb.ky_min", "_kb.ky_max")
         # <= one row per (doc, key): tiny, consumed by three joins below
         .localCheckpoint(eager=True)
     )
@@ -159,19 +166,22 @@ def _next_right_relational(
     dist = F.round(
         F.sqrt((kcx - bcx) * (kcx - bcx) + (kcy - bcy) * (kcy - bcy)), 6
     )
+    # argmin by (dist, bi) per (doc, key): same min_by-over-struct form
+    # as kb — (dist, bi) is unique per candidate (bi is), so this is
+    # exactly the old row_number()=1 window without its two sorts
     cand = (
         b.join(F.broadcast(kb), F.col("b_doc") == F.col("doc_id"))
         .filter((overlap > 0) & (F.col("bx_min") > F.col("kx_min")))
         .withColumn("dist", dist)
         .filter(F.col("dist") < MAX_DIST)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("doc_id", "key").orderBy("dist", "bi")
-            ),
+        .groupBy("doc_id", "key")
+        .agg(
+            F.min_by(
+                F.struct(F.col("b_word"), F.col("dist")),
+                F.struct(F.col("dist"), F.col("bi")),
+            ).alias("_c")
         )
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "key", "b_word", "dist")
+        .select("doc_id", "key", "_c.b_word", "_c.dist")
     )
     all_pairs = d.select("doc_id").crossJoin(keys_df)
     return (
