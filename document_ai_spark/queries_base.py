@@ -150,26 +150,29 @@ def minhash_band_pairs(df, id_col: str = "doc_id",
     # fixed-width lowercase-hex slice equals numeric MIN of that 32-bit
     # word, so each slice is a valid minhash (the four words of one md5
     # are independent uniform bits). 4x fewer md5 evaluations per shingle
-    # (codegen's subexpression elimination shares h_k across its slices;
-    # measured 1.4-2.0x on the signature stage) and 4x smaller minima /
-    # band keys on the shuffle wire. The DuckDB oracle twin
-    # (queries_ml._sql_minhash_core) slices the same md5 hex identically.
-    aggs = [
-        F.min(
-            F.substring(
-                F.md5(
-                    F.encode(
-                        F.concat_ws(":", F.lit(str(j // 4)), "shingle"),
-                        "UTF-8",
-                    )
-                ),
-                (j % 4) * 8 + 1,
-                8,
+    # and 4x smaller minima / band keys on the shuffle wire. r6: the
+    # slices are PROJECTED below the aggregate so each md5 is computed
+    # once per row by construction (the r5 form relied on codegen CSE
+    # inside the aggregate expressions) and the aggregate itself is 8
+    # plain min(column) buffers — simpler generated code. The DuckDB
+    # oracle twin (queries_ml._sql_minhash_core) slices the same md5
+    # hex identically.
+    slice_cols = []
+    for k in range((n_hashes + 3) // 4):
+        h = F.md5(
+            F.encode(
+                F.concat_ws(":", F.lit(str(k)), "shingle"), "UTF-8"
             )
-        ).alias(f"mh_{j}")
-        for j in range(n_hashes)
-    ]
-    sig = sh.groupBy("_id").agg(*aggs)
+        )
+        slice_cols += [
+            F.substring(h, r * 8 + 1, 8).alias(f"_s{4 * k + r}")
+            for r in range(4)
+            if 4 * k + r < n_hashes
+        ]
+    sliced = sh.select("_id", *slice_cols)
+    sig = sliced.groupBy("_id").agg(
+        *[F.min(f"_s{j}").alias(f"mh_{j}") for j in range(n_hashes)]
+    )
     bands = sig.select(
         "_id",
         F.posexplode(

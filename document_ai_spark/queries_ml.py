@@ -138,20 +138,20 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash_band_pairs): mh_j = min over shingles of the (j%4)-th
     # 8-hex-char slice of md5('j//4:'||shingle) — one md5 per four hash
     # slots, fixed-width hex so lexicographic MIN == numeric MIN.
-    aggs = [
-        F.min(
-            F.substring(
-                F.md5(F.encode(
-                    F.concat_ws(":", F.lit(str(j // 4)), "shingle"),
-                    "UTF-8",
-                )),
-                (j % 4) * 8 + 1,
-                8,
-            )
-        ).alias(f"mh_{j}")
-        for j in range(N_MINHASH)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    # r6: slices projected below the aggregate (each md5 computed once
+    # per row by construction; the agg is 8 plain min(column) buffers).
+    slice_cols = []
+    for k in range(N_MINHASH // 4):
+        h = F.md5(
+            F.encode(F.concat_ws(":", F.lit(str(k)), "shingle"), "UTF-8")
+        )
+        slice_cols += [
+            F.substring(h, r * 8 + 1, 8).alias(f"_s{4 * k + r}")
+            for r in range(4)
+        ]
+    sig = sh.select("doc_id", *slice_cols).groupBy("doc_id").agg(
+        *[F.min(f"_s{j}").alias(f"mh_{j}") for j in range(N_MINHASH)]
+    )
     for b in range(N_BANDS):
         sig = sig.withColumn(
             f"band_{b}", F.concat(F.col(f"mh_{2 * b}"), F.col(f"mh_{2 * b + 1}"))
